@@ -1,0 +1,198 @@
+"""Frontier admission: candidate links → deduped, ranked, scheduled wave.
+
+Crawl order is *computed, not observed* (SURVEY.md §7.5 item 1): a child's
+rank derives from ``(parent_rank, link_pos)`` — the order the sequential
+reference crawler would have enqueued it — never from task timing. Admission
+therefore reproduces the reference's FIFO + first-occurrence-wins semantics
+(portal_saude_mg.py:417-422,439) under arbitrary parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .config import CrawlConfig
+from .politeness import HostState, assign_vtimes
+from .seen import ShardedSeenSet
+from .synth import SynthWeb
+from .urlnorm import host_of, url_hash64
+
+CANDIDATE_COLUMNS = ["url", "title", "depth", "parent_rank", "link_pos"]
+
+_ORDER_SHIFT = np.int64(1) << np.int64(32)
+
+
+def order_key(parent_rank: np.ndarray, link_pos: np.ndarray) -> np.ndarray:
+    return parent_rank.astype(np.int64) * _ORDER_SHIFT + link_pos.astype(np.int64)
+
+
+def dedup_candidates(table: pa.Table) -> pa.Table:
+    """In-wave exact dedup, first occurrence (min order key) wins.
+
+    Driver/numpy path — used when the wave's candidate set is small enough
+    to sit on the driver. ``dedup_candidates_grouped`` is the distributed
+    equivalent; tests assert identical output.
+    """
+    if table.num_rows == 0:
+        return table.append_column("url_hash", pa.array([], type=pa.uint64()))
+    urls = table.column("url").to_pylist()
+    hashes = url_hash64(urls)
+    keys = order_key(
+        table.column("parent_rank").to_numpy(zero_copy_only=False),
+        table.column("link_pos").to_numpy(zero_copy_only=False),
+    )
+    # stable argsort by (hash, key): first row per hash = min key
+    order = np.lexsort((keys, hashes))
+    sorted_hashes = hashes[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = sorted_hashes[1:] != sorted_hashes[:-1]
+    keep = order[first]
+    keep.sort()  # restore original order for determinism of downstream sort
+    out = table.take(pa.array(keep))
+    return out.append_column("url_hash", pa.array(hashes[keep], type=pa.uint64()))
+
+
+def dedup_candidates_grouped(ds) -> pa.Table:
+    """Distributed in-wave dedup: hash-keyed groupby, min order key per group.
+
+    The scale path for wide waves (candidate fan-out >> driver memory):
+    ``groupby(url_hash)`` co-locates duplicates, each group keeps its
+    first-occurrence row. Returns the collected deduped candidates (the
+    *admitted wave* is budget-bounded even when the backlog is not).
+    """
+    import ray.data  # local import: module must import without ray initialised
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        hashes = url_hash64(batch.column("url").to_pylist())
+        keys = order_key(
+            batch.column("parent_rank").to_numpy(zero_copy_only=False),
+            batch.column("link_pos").to_numpy(zero_copy_only=False),
+        )
+        return batch.append_column(
+            "url_hash", pa.array(hashes, type=pa.uint64())
+        ).append_column("okey", pa.array(keys, type=pa.int64()))
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("okey").head(1)
+
+    deduped = (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("url_hash")
+        .map_groups(first_wins, batch_format="pandas")
+    )
+    parts = [
+        pa.Table.from_pandas(b, preserve_index=False)
+        for b in deduped.iter_batches(batch_size=65536, batch_format="pandas")
+    ]
+    if not parts:
+        return dedup_candidates(
+            pa.Table.from_arrays(
+                [pa.array([], type=t) for t in
+                 [pa.string(), pa.string(), pa.int32(), pa.int64(), pa.int32()]],
+                names=CANDIDATE_COLUMNS,
+            )
+        )
+    out = pa.concat_tables(parts)
+    if out.num_rows:
+        out = out.sort_by("okey")
+        out = out.drop_columns(["okey"])
+        out = out.set_column(
+            out.schema.get_field_index("url_hash"),
+            "url_hash",
+            out.column("url_hash").cast(pa.uint64()),
+        )
+    return out
+
+
+def admit_wave(
+    candidates: pa.Table,
+    seen: ShardedSeenSet,
+    host_state: dict[str, HostState],
+    next_rank: int,
+    budget_left: int,
+    web: SynthWeb,
+    cfg: CrawlConfig,
+) -> tuple[pa.Table, np.ndarray]:
+    """Dedup candidates, drop seen/too-deep, rank, politeness-schedule.
+
+    Returns (wave table ready for FetchStage, new seen hashes). ``candidates``
+    must already be in-wave deduped (carry url_hash).
+    """
+    n = candidates.num_rows
+    if n == 0:
+        return _empty_wave(), np.empty(0, dtype=np.uint64)
+
+    # Depth gate FIRST: the oracle never marks too-deep children as seen
+    # (oracle.py enqueues only when depth+1 <= max_depth).
+    depth_all = candidates.column("depth").to_numpy(zero_copy_only=False)
+    candidates = candidates.filter(pa.array(depth_all <= cfg.max_depth))
+    if candidates.num_rows == 0:
+        return _empty_wave(), np.empty(0, dtype=np.uint64)
+
+    keys = order_key(
+        candidates.column("parent_rank").to_numpy(zero_copy_only=False),
+        candidates.column("link_pos").to_numpy(zero_copy_only=False),
+    )
+    order = np.argsort(keys, kind="stable")
+    candidates = candidates.take(pa.array(order))
+
+    hashes = candidates.column("url_hash").to_numpy(zero_copy_only=False)
+
+    new_mask = seen.check_and_add(hashes)  # marks seen = "enqueued", oracle parity
+    new_hashes = hashes[new_mask]
+
+    admitted = candidates.filter(pa.array(new_mask))
+    if admitted.num_rows > budget_left:
+        admitted = admitted.slice(0, budget_left)
+    m = admitted.num_rows
+    if m == 0:
+        return _empty_wave(), new_hashes
+
+    urls = admitted.column("url").to_pylist()
+    hosts = [host_of(u) for u in urls]
+    kinds = [web.classify(u) for u in urls]
+    vtimes = assign_vtimes(hosts, kinds, host_state, cfg.politeness)
+    wave = pa.Table.from_arrays(
+        [
+            admitted.column("url"),
+            admitted.column("url_hash").cast(pa.uint64()),
+            pa.array(hosts, type=pa.string()),
+            admitted.column("depth").cast(pa.int32()),
+            pa.array(np.arange(next_rank, next_rank + m, dtype=np.int64)),
+            pa.array(np.asarray(vtimes, dtype=np.float64)),
+        ],
+        names=["url", "url_hash", "host", "depth", "crawl_seq", "vtime"],
+    )
+    return wave, new_hashes
+
+
+def _empty_wave() -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array([], type=pa.string()),
+            pa.array([], type=pa.uint64()),
+            pa.array([], type=pa.string()),
+            pa.array([], type=pa.int32()),
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.float64()),
+        ],
+        names=["url", "url_hash", "host", "depth", "crawl_seq", "vtime"],
+    )
+
+
+def seeds_to_candidates(seed_rows: list[dict]) -> pa.Table:
+    """Seed list → candidate table (parent_rank=-1, link_pos=seed seq)."""
+    from .urlnorm import canonicalize
+
+    return pa.Table.from_arrays(
+        [
+            pa.array([canonicalize(r["url"]) for r in seed_rows], type=pa.string()),
+            pa.array([r.get("title", "") for r in seed_rows], type=pa.string()),
+            pa.array(np.zeros(len(seed_rows), dtype=np.int32)),
+            pa.array(np.full(len(seed_rows), -1, dtype=np.int64)),
+            pa.array(np.asarray([r["seq"] for r in seed_rows], dtype=np.int32)),
+        ],
+        names=CANDIDATE_COLUMNS,
+    )

@@ -1,0 +1,259 @@
+"""The crawl pipeline: wave-driven frontier → fetch → parse → admit loop.
+
+Each BFS wave is one streaming Ray Data pipeline:
+
+    from_arrow(wave) → map_batches(FetchStage, actor pool)   # simulated I/O
+                     → map_batches(SpanParser)  → documents parquet partition
+                     → map_batches(LinkExtractor) → candidate children
+
+Candidates are deduped first-occurrence-wins (numpy path for driver-sized
+waves, ``dedup_candidates_grouped`` for wide ones), anti-joined against the
+sharded seen set, ranked deterministically from (parent_rank, link_pos), and
+politeness-scheduled on a virtual clock — so crawl order, seen set, and
+virtual schedule match the sequential oracle exactly at any parallelism.
+
+Per-wave outputs are checkpointed (documents/, crawl_log/, seen/, metrics/)
+and the manifest commits after each wave: a killed run resumes from the last
+committed wave and produces byte-identical results (tests/test_crawl.py).
+
+Scale notes: the wave table is the bounded unit (politeness budgets cap how
+much of the backlog any wave admits); fetched bodies never accumulate — they
+stream through parse into parquet within the wave. The only driver-held
+state is O(hosts) politeness fold state + the wave being admitted.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from .checkpoint import CrawlCheckpoint, host_state_from_json
+from .config import CrawlConfig, DEFAULT_CRAWL
+from .fetch import FetchStage, fetch_batch
+from .frontier import (
+    admit_wave,
+    dedup_candidates,
+    dedup_candidates_grouped,
+    seeds_to_candidates,
+)
+from .parse import extract_links_batch, parse_spans_batch
+from .politeness import HostState
+from .seen import ShardedSeenSet
+from .synth import SynthWeb, SynthWebConfig
+
+# Above this many candidate rows, in-wave dedup goes through the
+# distributed groupby path instead of driver numpy.
+DISTRIBUTED_DEDUP_THRESHOLD = 200_000
+
+# Waves at least this large use the FetchStage actor pool (startup amortized);
+# smaller waves run as stateless tasks with per-worker stage caches.
+ACTOR_POOL_WAVE_THRESHOLD = 20_000
+
+CRAWL_LOG_COLUMNS = ["url", "url_hash", "host", "depth", "status", "attempts",
+                     "content_len", "kind", "crawl_seq", "vtime"]
+
+
+@dataclass
+class CrawlRunResult:
+    out_dir: str
+    waves: int
+    pages_fetched: int
+    seen_size: int
+    docs_emitted: int
+    wall_s: float
+
+
+def _ds_to_table(ds) -> pa.Table:
+    parts = [b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
+    if not parts:
+        return None
+    return pa.concat_tables(parts)
+
+
+def crawl(
+    web_cfg: SynthWebConfig,
+    out_dir: str,
+    cfg: CrawlConfig = DEFAULT_CRAWL,
+    seeds: list[dict] | None = None,
+    seen_mode: str = "exact",
+    use_seen_actors: bool = False,
+    resume: bool = False,
+    fetch_concurrency: int | None = None,
+) -> CrawlRunResult:
+    """Run (or resume) the crawl to frontier exhaustion or cfg.max_pages."""
+    t0 = time.perf_counter()
+    web = SynthWeb(web_cfg)
+    ckpt = CrawlCheckpoint(out_dir)
+    seen = ShardedSeenSet(
+        n_shards=cfg.seen_shards, mode=seen_mode, use_actors=use_seen_actors
+    )
+    host_state: dict[str, HostState] = {}
+    next_rank = 0
+    pages_fetched = 0
+    docs_emitted = 0
+    wave_no = 0
+    concurrency = fetch_concurrency or cfg.fetch_concurrency
+
+    manifest = ckpt.load_manifest() if resume else None
+    if manifest is not None:
+        wave_no = manifest["completed_wave"] + 1
+        next_rank = manifest["next_rank"]
+        pages_fetched = manifest["pages_fetched"]
+        host_state = host_state_from_json(manifest["host_state"])
+        seen_hashes = ckpt.load_seen_upto(manifest["completed_wave"])
+        if len(seen_hashes):
+            seen.check_and_add(seen_hashes)
+        candidates = ckpt.load_frontier_next(manifest["completed_wave"])
+        if candidates is None or candidates.num_rows == 0:
+            return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
+        wave, new_hashes = _admit_precomputed(
+            candidates, seen, host_state, next_rank, cfg, web,
+            budget_left=cfg.max_pages - pages_fetched,
+        )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        seed_rows = seeds if seeds is not None else web.seeds()
+        cand = dedup_candidates(seeds_to_candidates(seed_rows))
+        wave, new_hashes = admit_wave(
+            cand, seen, host_state, next_rank,
+            cfg.max_pages - pages_fetched, web, cfg,
+        )
+
+    while wave.num_rows > 0:
+        wt0 = time.perf_counter()
+        n_wave = wave.num_rows
+        next_rank += n_wave
+
+        # --- one streaming pass over the wave -------------------------
+        # Small waves: stateless tasks (per-worker module caches hold the
+        # fetch session / compiled regexes — no actor startup per wave).
+        # Large waves: explicit actor pool, startup amortized over the wave.
+        ds = rd.from_arrow(wave)
+        n_blocks = max(1, min(concurrency * 4, n_wave // 64 or 1))
+        ds = ds.repartition(n_blocks) if n_blocks > 1 else ds
+        if n_wave >= ACTOR_POOL_WAVE_THRESHOLD:
+            fetched = ds.map_batches(
+                FetchStage,
+                fn_constructor_args=(web_cfg, cfg),
+                batch_format="pyarrow",
+                batch_size=256,
+                concurrency=concurrency,
+                num_cpus=1,
+            ).materialize()
+        else:
+            fetched = ds.map_batches(
+                partial(fetch_batch, web_cfg=web_cfg, cfg=cfg),
+                batch_format="pyarrow",
+                batch_size=256,
+            ).materialize()  # wave-bounded; reused by docs + links + log passes
+
+        docs_ds = fetched.map_batches(
+            partial(
+                parse_spans_batch,
+                min_pdf_bytes=cfg.min_pdf_bytes,
+                pdf_magic=cfg.pdf_magic,
+            ),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
+        docs_table = _ds_to_table(docs_ds)
+        n_docs = docs_table.num_rows if docs_table is not None else 0
+        if docs_table is not None:
+            ckpt.write_table("documents", wave_no, docs_table)
+
+        log_ds = fetched.map_batches(
+            lambda b: b.drop_columns(["body"]),
+            batch_format="pyarrow",
+        )
+        log_table = _ds_to_table(log_ds)
+        if log_table is not None:
+            ckpt.write_table("crawl_log", wave_no, log_table.select(CRAWL_LOG_COLUMNS))
+        n_err = (
+            int(pa.compute.sum(
+                pa.compute.not_equal(log_table.column("status"), 200)
+            ).as_py() or 0)
+            if log_table is not None else 0
+        )
+
+        links_ds = fetched.map_batches(
+            extract_links_batch, batch_format="pyarrow", batch_size=1024
+        )
+        n_candidates_est = links_ds.count()
+        if n_candidates_est > DISTRIBUTED_DEDUP_THRESHOLD:
+            cand = dedup_candidates_grouped(links_ds)
+        else:
+            links_table = _ds_to_table(links_ds)
+            cand = dedup_candidates(links_table) if links_table is not None else None
+
+        # --- bookkeeping / checkpoint ---------------------------------
+        pages_fetched += n_wave
+        docs_emitted += n_docs
+        ckpt.write_seen_delta(wave_no, new_hashes)
+
+        if cand is not None and cand.num_rows:
+            ckpt.write_frontier_next(wave_no, cand)
+        wall = time.perf_counter() - wt0
+        _write_metrics(
+            ckpt, wave_no, n_wave, n_err, n_docs,
+            n_new=len(new_hashes),
+            n_dup=(cand.num_rows if cand is not None else 0),
+            wall=wall,
+        )
+        ckpt.commit_wave(wave_no, next_rank, pages_fetched, host_state)
+        wave_no += 1
+
+        budget_left = cfg.max_pages - pages_fetched
+        if cand is None or cand.num_rows == 0 or budget_left <= 0:
+            break
+        wave, new_hashes = _admit_precomputed(
+            cand, seen, host_state, next_rank, cfg, web, budget_left
+        )
+
+    return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
+
+
+def _admit_precomputed(candidates, seen, host_state, next_rank, cfg, web,
+                       budget_left: int | None = None):
+    if budget_left is None:
+        budget_left = cfg.max_pages
+    return admit_wave(candidates, seen, host_state, next_rank, budget_left, web, cfg)
+
+
+def _write_metrics(ckpt, wave_no, n_wave, n_err, n_docs, n_new, n_dup, wall):
+    urls_per_s = n_wave / wall if wall > 0 else 0.0
+    t = pa.table(
+        {
+            "wave": pa.array([wave_no], type=pa.int32()),
+            "frontier_size": pa.array([n_new], type=pa.int64()),
+            "selected": pa.array([n_wave], type=pa.int64()),
+            "fetched_ok": pa.array([n_wave - n_err], type=pa.int64()),
+            "fetch_errors": pa.array([n_err], type=pa.int64()),
+            "new_urls": pa.array([n_new], type=pa.int64()),
+            "dup_urls": pa.array([n_dup], type=pa.int64()),
+            "docs_emitted": pa.array([n_docs], type=pa.int64()),
+            "wall_s": pa.array([wall], type=pa.float64()),
+            "urls_per_s": pa.array([urls_per_s], type=pa.float64()),
+            "frontier_ops_per_s": pa.array(
+                [(n_new + n_dup) / wall if wall > 0 else 0.0], type=pa.float64()
+            ),
+        }
+    )
+    ckpt.write_table("metrics", wave_no, t)
+
+
+def _finish(ckpt, out_dir, waves, pages, seen, docs, t0) -> CrawlRunResult:
+    return CrawlRunResult(
+        out_dir=out_dir,
+        waves=waves,
+        pages_fetched=pages,
+        seen_size=seen.size(),
+        docs_emitted=docs,
+        wall_s=time.perf_counter() - t0,
+    )

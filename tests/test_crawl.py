@@ -1,0 +1,127 @@
+"""The big invariant: the parallel Ray crawl == the sequential oracle.
+
+Crawl order, seen set, virtual politeness schedule, and per-row span
+sequences must match exactly (BASELINE.json north_rule / input_hint).
+"""
+
+import numpy as np
+import pytest
+
+from bgdss_ray.checkpoint import CrawlCheckpoint
+from bgdss_ray.config import CrawlConfig
+from bgdss_ray.oracle import crawl_oracle
+from bgdss_ray.pipeline import crawl
+from bgdss_ray.synth import SynthWeb, SynthWebConfig
+from bgdss_ray.urlnorm import hash64_one
+
+WEB = SynthWebConfig(seed=42, n_hosts=6, years=(2023,), months=(1, 2))
+CFG = CrawlConfig(max_depth=3, seen_shards=4, fetch_concurrency=2)
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    w = SynthWeb(WEB)
+    return crawl_oracle(w, w.seeds(), CFG)
+
+
+@pytest.fixture(scope="module")
+def engine_result(tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("crawl"))
+    res = crawl(WEB, out, CFG)
+    return res, CrawlCheckpoint(out)
+
+
+def _engine_log(ckpt):
+    log = ckpt.read_all("crawl_log")
+    return log.sort_by("crawl_seq")
+
+
+def test_crawl_order_exact_match(oracle_result, engine_result):
+    _res, ckpt = engine_result
+    log = _engine_log(ckpt)
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+    assert log.column("crawl_seq").to_pylist() == list(range(len(oracle_result.crawl_order)))
+
+
+def test_statuses_and_attempts_match(oracle_result, engine_result):
+    _res, ckpt = engine_result
+    log = _engine_log(ckpt)
+    assert log.column("status").to_pylist() == oracle_result.statuses
+    assert log.column("attempts").to_pylist() == oracle_result.attempts
+
+
+def test_politeness_vtimes_match(oracle_result, engine_result):
+    _res, ckpt = engine_result
+    log = _engine_log(ckpt)
+    # engine vtime includes retry backoff; reconstruct fetch-start vtime
+    # the same way the oracle records it (oracle vtime excludes backoff)
+    eng = np.asarray(log.column("vtime").to_pylist())
+    att = np.asarray(log.column("attempts").to_pylist())
+    backoff = np.zeros(len(att))
+    for i, a in enumerate(att):
+        backoff[i] = sum(2.0 * k for k in range(1, a))
+    assert np.allclose(eng - backoff, np.asarray(oracle_result.vtimes))
+
+
+def test_seen_set_exact_match(oracle_result, engine_result):
+    _res, ckpt = engine_result
+    waves = _res.waves
+    seen_engine = set(int(h) for h in ckpt.load_seen_upto(waves + 1))
+    assert seen_engine == oracle_result.seen
+
+
+def test_span_sequences_match(oracle_result, engine_result):
+    """Per-row span-sequence equality: (kind, text, media_ref, order)."""
+    _res, ckpt = engine_result
+    docs = ckpt.read_all("documents")
+    got = {}
+    ids = docs.column("doc_id").to_pylist()
+    spans = docs.column("spans").to_pylist()
+    for i, s in zip(ids, spans):
+        got[i] = [(x["kind"], x["text"], x["media_ref"], x["offset"]) for x in s]
+    want = {
+        url: [(x["kind"], x["text"], x["media_ref"], x["offset"]) for x in sp]
+        for url, sp in oracle_result.documents
+    }
+    assert set(got) == set(want)
+    mismatches = [u for u in want if got[u] != want[u]]
+    assert mismatches == []
+
+
+def test_crawl_deterministic_across_runs(tmp_path, oracle_result):
+    out = str(tmp_path / "crawl2")
+    res2 = crawl(WEB, out, CFG, fetch_concurrency=4)  # different parallelism
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+
+
+def test_max_pages_truncation(tmp_path, oracle_result):
+    budget = max(3, len(oracle_result.crawl_order) // 3)
+    cfg = CrawlConfig(max_depth=3, seen_shards=4, fetch_concurrency=2, max_pages=budget)
+    w = SynthWeb(WEB)
+    o = crawl_oracle(w, w.seeds(), cfg)
+    assert len(o.crawl_order) == budget
+    out = str(tmp_path / "trunc")
+    crawl(WEB, out, cfg)
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == o.crawl_order
+
+
+def test_resume_equals_uninterrupted(tmp_path, oracle_result):
+    """Kill after wave 1, resume: outputs byte-identical to one-shot run."""
+    out = str(tmp_path / "resume")
+    # phase 1: run with a page budget that stops mid-crawl
+    n_seeds = None
+    w = SynthWeb(WEB)
+    from bgdss_ray.frontier import dedup_candidates, seeds_to_candidates
+
+    n_seeds = dedup_candidates(seeds_to_candidates(w.seeds())).num_rows
+    cfg_stop = CrawlConfig(max_depth=3, seen_shards=4, fetch_concurrency=2,
+                           max_pages=n_seeds)  # exactly wave 0
+    crawl(WEB, out, cfg_stop)
+    # phase 2: resume with the full budget
+    res = crawl(WEB, out, CFG, resume=True)
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+    seen_engine = set(int(h) for h in CrawlCheckpoint(out).load_seen_upto(res.waves + 1))
+    assert seen_engine == oracle_result.seen
