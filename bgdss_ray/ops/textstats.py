@@ -1,0 +1,180 @@
+"""Text analysis stages: language-ID, quality scoring, token counting,
+document fingerprinting. All vectorized map_batches over (id, text).
+
+Language-ID is a stopword/charset n-gram heuristic (stateful stage: tables
+built once per actor/worker); quality scoring mirrors the usual pretraining
+filters (length, punctuation density, stopword ratio); token counting is a
+whitespace count plus a BPE-ish wordpiece regex count; fingerprinting is
+winnowing over a rolling hash (Schleimer et al., SIGMOD'03).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..urlnorm import url_hash64
+
+# distinctive stopwords per language (testdata langs: en es fr de zh)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "with"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es"},
+    "fr": {"le", "la", "les", "des", "et", "que", "en", "un", "une", "est", "du"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"},
+    "pt": {"o", "a", "os", "as", "de", "que", "e", "em", "um", "uma", "é", "do", "da"},
+}
+_CJK = re.compile(r"[一-鿿]")
+_WORD = re.compile(r"\w+", re.UNICODE)
+# BPE-ish token regex: words, numbers, punctuation runs (GPT-2 style, simplified)
+_BPE_ISH = re.compile(r"[A-Za-zÀ-ÿ]+|\d+|[^\sA-Za-zÀ-ÿ\d]+")
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+class LangId:
+    """Stopword/charset language classifier. State (tables) built once."""
+
+    def __init__(self):
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def classify_one(self, text: str) -> str:
+        if _CJK.search(text):
+            return "zh"
+        toks = [t.lower() for t in _WORD.findall(text)]
+        if not toks:
+            return "unknown"
+        best, best_score = "unknown", 0
+        for lang, table in self.tables.items():
+            score = sum(1 for t in toks if t in table)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = [self.classify_one(t) for t in batch["text"]]
+        return batch
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """Vectorized token counting: whitespace tokens + BPE-ish pieces.
+
+    ws_tokens matches DuckDB's len(regexp_split_to_array(trim(text),'\\s+'))
+    so the oracle pair is exact.
+    """
+    import pyarrow.compute as pc
+
+    text = batch.column("text")
+    trimmed = pc.utf8_trim_whitespace(text)
+    splits = pc.split_pattern_regex(trimmed, r"\s+")
+    ws_tokens = pc.list_value_length(splits).cast(pa.int64())
+    texts = text.to_pylist()
+    bpe = np.fromiter(
+        (len(_BPE_ISH.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    return batch.append_column("ws_tokens", ws_tokens).append_column(
+        "bpe_tokens", pa.array(bpe)
+    ).append_column("n_chars_calc", n_chars)
+
+
+class QualityScorer:
+    """Pretraining-style quality signals + composite score.
+
+    Signals: char length, mean word length, punctuation ratio, digit ratio,
+    stopword ratio (any language table), uppercase ratio. Composite is a
+    fixed linear blend in [0,1] — deterministic, documented, tunable.
+    """
+
+    def __init__(self):
+        self.all_stop = frozenset().union(*_STOPWORDS.values())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        n_chars = t.str.len()
+        words = t.str.findall(_WORD)
+        n_words = words.str.len().clip(lower=1)
+        mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        punct = t.str.count(_PUNCT)
+        digits = t.str.count(r"\d")
+        upper = t.str.count(r"[A-Z]")
+        stop_ratio = words.map(
+            lambda ws: sum(1 for w in ws if w.lower() in self.all_stop) / max(1, len(ws))
+        )
+        punct_ratio = (punct / n_chars.clip(lower=1)).astype(float)
+        digit_ratio = (digits / n_chars.clip(lower=1)).astype(float)
+        upper_ratio = (upper / n_chars.clip(lower=1)).astype(float)
+        length_score = (n_chars.clip(upper=2000) / 2000.0).astype(float)
+        wlen_score = 1.0 - (mean_wlen - 5.0).abs().clip(upper=5.0) / 5.0
+        score = (
+            0.3 * length_score
+            + 0.2 * wlen_score
+            + 0.2 * (1.0 - punct_ratio.clip(upper=0.3) / 0.3)
+            + 0.2 * stop_ratio.clip(upper=0.5) / 0.5
+            + 0.1 * (1.0 - digit_ratio.clip(upper=0.3) / 0.3)
+        )
+        out = batch.copy()
+        out["n_words"] = words.str.len()
+        out["mean_word_len"] = mean_wlen
+        out["punct_ratio"] = punct_ratio
+        out["digit_ratio"] = digit_ratio
+        out["upper_ratio"] = upper_ratio
+        out["stopword_ratio"] = stop_ratio
+        out["quality_score"] = score
+        return out
+
+
+def fingerprint_winnow(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing fingerprints: char k-gram rolling hashes, min per window,
+    deduped consecutive picks. Deterministic document signature."""
+    s = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(s) < k:
+        return [int(url_hash64([s])[0])] if s else []
+    grams = [s[i : i + k] for i in range(len(s) - k + 1)]
+    hs = url_hash64(grams)
+    if len(hs) <= window:
+        return [int(hs.min())]
+    out: list[int] = []
+    last_pos = -1
+    for i in range(len(hs) - window + 1):
+        w = hs[i : i + window]
+        # rightmost minimum for robust winnowing
+        pos = i + (window - 1 - int(np.argmin(w[::-1])))
+        if pos != last_pos:
+            out.append(int(hs[pos]))
+            last_pos = pos
+    return out
+
+
+class Fingerprinter:
+    """map_batches stage: adds fingerprints list + a compact doc signature."""
+
+    def __init__(self, k: int = 8, window: int = 4):
+        self.k = k
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = [fingerprint_winnow(t, self.k, self.window) for t in texts]
+        sig = np.fromiter(
+            (min(f) if f else 0 for f in fps), dtype=np.uint64, count=len(fps)
+        )
+        return batch.append_column(
+            "fingerprints", pa.array(fps, type=pa.list_(pa.uint64()))
+        ).append_column("doc_sig", pa.array(sig, type=pa.uint64()))
+
+
+def lang_id(ds, concurrency: int | None = None):
+    """Dataset stage wrapper; actor pool when concurrency given."""
+    kw = {"batch_format": "pandas", "batch_size": 4096}
+    if concurrency:
+        return ds.map_batches(LangId, concurrency=concurrency, **kw)
+    return ds.map_batches(LangId(), **kw)
+
+
+def quality(ds, concurrency: int | None = None):
+    kw = {"batch_format": "pandas", "batch_size": 4096}
+    if concurrency:
+        return ds.map_batches(QualityScorer, concurrency=concurrency, **kw)
+    return ds.map_batches(QualityScorer(), **kw)

@@ -1,0 +1,125 @@
+"""Dedup family: exact, minhash-LSH, simhash, embedding near-dup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bgdss_ray.ops.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard,
+    label_propagation_components,
+    minhash_lsh_candidates,
+    near_dedup_minhash,
+    shingle_hashes,
+    simhash_candidates,
+    union_find_components,
+    verify_jaccard_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees "
+    "as morning light spreads across the quiet village square slowly"
+)
+
+
+def _corpus():
+    """20 unique docs + 3 near-dup groups with small perturbations."""
+    rows = []
+    rng = np.random.RandomState(3)
+    words = BASE.split()
+    for i in range(20):
+        perm = rng.permutation(words).tolist()
+        rows.append({"doc_id": i, "text": " ".join(perm) + f" marker{i}"})
+    # group A: 100, 101, 102 near-identical
+    rows.append({"doc_id": 100, "text": BASE})
+    rows.append({"doc_id": 101, "text": BASE.replace("lazy", "sleepy")})
+    rows.append({"doc_id": 102, "text": BASE + " extra tail words here"})
+    # group B: exact duplicates 200/201
+    rows.append({"doc_id": 200, "text": "identical content " * 10})
+    rows.append({"doc_id": 201, "text": "identical content " * 10})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session):
+    return rd.from_pandas(_corpus())
+
+
+def test_exact_dedup_first_wins(corpus_ds):
+    out = exact_dedup(corpus_ds).to_pandas()
+    assert 200 in set(out["doc_id"]) and 201 not in set(out["doc_id"])
+    assert len(out) == len(_corpus()) - 1
+
+
+def test_minhash_finds_neardups_and_not_unique(corpus_ds):
+    keep = near_dedup_minhash(corpus_ds, threshold=0.5)
+    by = dict(zip(keep["doc_id"], keep["cluster"]))
+    assert by[100] == by[101] == by[102] == 100
+    assert by[200] == by[201] == 200
+    # unique docs each form their own cluster
+    for i in range(20):
+        assert by[i] == i
+
+
+def test_jaccard_symmetric_and_bounded():
+    a = shingle_hashes(BASE)
+    b = shingle_hashes(BASE.replace("lazy", "sleepy"))
+    j = jaccard(np.sort(a), np.sort(b))
+    assert 0.5 < j < 1.0
+    assert jaccard(np.sort(a), np.sort(a)) == 1.0
+
+
+def test_union_find_equals_label_propagation():
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 10, 11, 20], "id_b": [2, 3, 11, 12, 21]}
+    )
+    uf = union_find_components(pairs)
+    lp = label_propagation_components(pairs)
+    assert uf == lp
+    assert uf[3] == 1 and uf[12] == 10 and uf[21] == 20
+
+
+def test_simhash_neardups(corpus_ds):
+    pairs = simhash_candidates(corpus_ds, max_hamming=6)
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (200, 201) in got
+    # exact dup pair has hamming 0
+    row = pairs[(pairs.id_a == 200) & (pairs.id_b == 201)]
+    assert (row["hamming"] == 0).all()
+
+
+def test_embedding_neardup(ray_session):
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((30, 16))
+    # rows 0 and 1 nearly identical
+    base[1] = base[0] + 0.001 * rng.standard_normal(16)
+    df = pd.DataFrame({"vec_id": np.arange(30), "embedding": list(base)})
+    ds = rd.from_pandas(df)
+    pairs = embedding_neardup_pairs(ds, threshold=0.99)
+    got = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert all(c >= 0.99 for c in pairs["cosine"])
+
+
+def test_minhash_on_testdata_merges_are_genuine(ray_session):
+    """The testdata documents table carries planted near-duplicates; every
+    cluster merge must correspond to true shingle-Jaccard >= threshold, and
+    cluster representatives are always the min doc_id."""
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    keep = near_dedup_minhash(ds, threshold=0.8)
+    merged = keep[keep["doc_id"] != keep["cluster"]]
+    assert len(merged) > 0, "testdata contains planted near-dups"
+    texts = ds.to_pandas().set_index("doc_id")["text"]
+    for _, r in merged.iterrows():
+        assert r["cluster"] < r["doc_id"]
+        j = jaccard(
+            np.sort(shingle_hashes(texts.loc[r["doc_id"]])),
+            np.sort(shingle_hashes(texts.loc[r["cluster"]])),
+        )
+        # transitive merges may dip slightly below the pairwise threshold
+        assert j >= 0.5, f"false merge {r['doc_id']}->{r['cluster']} (j={j})"

@@ -1,0 +1,53 @@
+"""Similarity search: brute-force exactness vs numpy oracle, LSH recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from bgdss_ray.ops.similarity import brute_force_topk, lsh_topk, recall_at_k
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    ds = rd.read_parquet(EMB)
+    df = ds.to_pandas()
+    q = df[df.vec_id < 5]
+    qmat = np.asarray(q["embedding"].tolist(), dtype=np.float64)
+    return ds, df, q["vec_id"].to_numpy(), qmat
+
+
+def test_brute_force_matches_numpy_oracle(emb):
+    ds, df, qids, qmat = emb
+    got = brute_force_topk(ds, qids, qmat, k=10)
+    m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    ids = df["vec_id"].to_numpy()
+    for j, qid in enumerate(qids):
+        order = np.lexsort((ids, -sims[:, j]))[:10]
+        want = ids[order].tolist()
+        g = got[got.query_id == qid].sort_values("rank")
+        assert g["id"].tolist() == want
+        assert np.allclose(g["score"].to_numpy(), sims[order, j])
+
+
+def test_self_is_top1(emb):
+    ds, _df, qids, qmat = emb
+    got = brute_force_topk(ds, qids, qmat, k=3)
+    top1 = got[got["rank"] == 1]
+    assert dict(zip(top1["query_id"], top1["id"])) == {q: q for q in qids}
+
+
+def test_lsh_recall_reasonable(emb):
+    ds, _df, qids, qmat = emb
+    exact = brute_force_topk(ds, qids, qmat, k=10)
+    approx = lsh_topk(ds, qids, qmat, k=10, n_planes=8)
+    r = recall_at_k(approx, exact, k=10)
+    assert r >= 0.5, f"LSH recall too low: {r}"
+    # self vector always lands in its own bucket
+    top1 = approx[approx["rank"] == 1]
+    assert dict(zip(top1["query_id"], top1["id"])) == {q: q for q in qids}
