@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` BEFORE importing this module; nothing
+here (or in bgdss_ray) calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on /root/testdata/sf0.001 — flat documents
+  → interleaved spans (input_hint schema) → deterministic 7-field
+  extraction → quality enrichment; returns a ray.data.Dataset.
+- ``queries()``: every implemented operator/pipeline from SURVEY.md §2 plus
+  the training-data ops; each callable takes sf_dir.
+- ``oracle_sql()``: DuckDB equivalents for the SQL-expressible entries
+  (column names match exactly; money sums as exact integer cents).
 """
 
 from __future__ import annotations
@@ -18,27 +17,41 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from bgdss_ray import pipelines as P
+from bgdss_ray.queries import SQL_PAIRED
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return P.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in SQL_PAIRED.items()
+    }
+    q.update(
+        {
+            # crawl engine (non-SQL; deterministic vs sequential oracle in tests)
+            "crawl_log": P.crawl_log_pipeline,
+            "crawl_documents": P.crawl_documents_pipeline,
+            "crawl_metrics": P.crawl_metrics_pipeline,
+            "resolutions_table": P.resolutions_pipeline,
+            "spanify_documents": P.spanify_pipeline,
+            # training-data ops (non-SQL)
+            "dedup_minhash": P.dedup_minhash_pipeline,
+            "dedup_simhash": P.dedup_simhash_pipeline,
+            "dedup_ngram_jaccard": P.dedup_ngram_jaccard_pipeline,
+            "dedup_embedding": P.dedup_embedding_pipeline,
+            "ann_lsh": P.ann_lsh_pipeline,
+            "lang_quality": P.lang_quality_pipeline,
+            "fingerprints": P.fingerprint_pipeline,
+            "multimodal_decode": P.multimodal_pipeline,
+            "mds_csv_parse": P.mds_csv_pipeline,
+        }
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in SQL_PAIRED.items()}

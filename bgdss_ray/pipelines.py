@@ -1,0 +1,221 @@
+"""Named end-to-end pipelines: the flagship crawl→extract flow plus the
+non-SQL-expressible operators exposed through ``__ray_entry__.queries()``
+(driver records rows-only checks for these; pytest covers their semantics
+against pure-python oracles).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .checkpoint import CrawlCheckpoint
+from .config import CrawlConfig
+from .extract import extract_resolutions
+from .parse import spanify_flat_documents
+from .pipeline import crawl
+from .synth import SynthWebConfig
+
+# Fixed small-but-nontrivial crawl web for driver-run pipelines (~500 pages).
+DRIVER_WEB = SynthWebConfig(seed=42, n_hosts=10, years=(2022, 2023), months=(1, 2, 3))
+DRIVER_CFG = CrawlConfig(max_depth=3, fetch_concurrency=4)
+
+
+def _crawl_dir() -> str:
+    """Run (or reuse this process's) driver crawl under /tmp."""
+    out = os.path.join(tempfile.gettempdir(), "bgdss_driver_crawl")
+    ck = CrawlCheckpoint(out)
+    m = ck.load_manifest()
+    if m is None:
+        shutil.rmtree(out, ignore_errors=True)
+        crawl(DRIVER_WEB, out, DRIVER_CFG)
+    return out
+
+
+def crawl_log_pipeline(sf_dir: str):
+    """Full synthetic-web crawl; returns the deterministic crawl log."""
+    out = _crawl_dir()
+    return CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+
+
+def crawl_documents_pipeline(sf_dir: str):
+    """Interleaved span documents emitted by the crawl (input_hint schema)."""
+    out = _crawl_dir()
+    return CrawlCheckpoint(out).read_all("documents")
+
+
+def crawl_metrics_pipeline(sf_dir: str):
+    """Per-wave frontier/fetch metrics table."""
+    out = _crawl_dir()
+    return CrawlCheckpoint(out).read_all("metrics")
+
+
+def resolutions_pipeline(sf_dir: str):
+    """Crawl documents → deterministic 7-field extraction → 9-col table."""
+    docs = crawl_documents_pipeline(sf_dir)
+    pdfs = docs.filter(pc.ends_with(docs.column("doc_id"), ".pdf"))
+    return extract_resolutions(rd.from_arrow(pdfs))
+
+
+def spanify_pipeline(sf_dir: str):
+    """Flat testdata documents → interleaved-span DOCUMENTS rows."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(spanify_flat_documents, batch_format="pyarrow")
+
+
+def flagship(sf_dir: str):
+    """entry() pipeline: testdata docs → spans → extraction → quality.
+
+    One streaming pass: spanify (input_hint schema) → 7-field extractor →
+    token/quality stats joined on, returning the enriched resolutions table.
+    """
+    from .ops.textstats import QualityScorer
+
+    spans = spanify_pipeline(sf_dir)
+    res = extract_resolutions(spans)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = docs.map_batches(QualityScorer(), batch_format="pandas")
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "n_words", "quality_score"]].copy()
+        out["doc_id"] = out["doc_id"].astype(str)
+        return out
+
+    q = scored.map_batches(slim, batch_format="pandas").to_pandas()
+    qmap_words = dict(zip(q["doc_id"], q["n_words"]))
+    qmap_score = dict(zip(q["doc_id"], q["quality_score"]))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_words"] = df["doc_id"].map(qmap_words).fillna(0).astype("int64")
+        df["quality_score"] = df["doc_id"].map(qmap_score).fillna(0.0)
+        return df
+
+    return res.map_batches(attach, batch_format="pandas")
+
+
+# ----------------------------------------------------- non-SQL operators
+def dedup_minhash_pipeline(sf_dir: str):
+    from .ops.dedup import near_dedup_minhash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return near_dedup_minhash(ds, threshold=0.8)
+
+
+def dedup_simhash_pipeline(sf_dir: str):
+    from .ops.dedup import simhash_candidates
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_candidates(ds, max_hamming=3)
+
+
+def dedup_ngram_jaccard_pipeline(sf_dir: str):
+    """Verified-Jaccard near-dup pairs (exact verification of LSH candidates)."""
+    from .ops.dedup import (
+        _texts_for_ids,
+        minhash_lsh_candidates,
+        verify_jaccard_pairs,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(ds)
+    if cand.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    texts = _texts_for_ids(ds, set(cand["id_a"]) | set(cand["id_b"]), "doc_id")
+    out = verify_jaccard_pairs(cand, texts, threshold=0.7)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def dedup_embedding_pipeline(sf_dir: str):
+    from .ops.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup_pairs(ds, threshold=0.98)
+    if not out.empty:
+        out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def ann_lsh_pipeline(sf_dir: str):
+    from .ops.similarity import lsh_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).to_pandas()
+    qmat = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    out = lsh_topk(ds, qdf["vec_id"].to_numpy(), qmat, k=10)
+    out["score"] = out["score"].round(6)
+    return out
+
+
+def lang_quality_pipeline(sf_dir: str):
+    from .ops.textstats import LangId, QualityScorer
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(LangId(), batch_format="pandas").map_batches(
+        QualityScorer(), batch_format="pandas"
+    )
+    return out.map_batches(
+        lambda df: df[["doc_id", "lang_pred", "n_words", "quality_score"]],
+        batch_format="pandas",
+    )
+
+
+def fingerprint_pipeline(sf_dir: str):
+    from .ops.textstats import Fingerprinter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter(), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fingerprints": pc.list_value_length(t["fingerprints"]).cast(pa.int64()),
+                "doc_sig": t["doc_sig"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def multimodal_pipeline(sf_dir: str):
+    """Synth media derived from testdata doc_ids → actor-pool decode."""
+    from .ops.multimodal import decode_media, synth_media_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [f"doc-{i}" for i in ds.to_pandas()["doc_id"].head(200)]
+    media = rd.from_arrow(synth_media_table(ids))
+    out = decode_media(media, concurrency=2, batch_size=32)
+    return out.map_batches(
+        lambda t: t.drop_columns(["payload"]), batch_format="pyarrow"
+    )
+
+
+def mds_csv_pipeline(sf_dir: str):
+    """Deterministic MDS-style CSV payloads → fallback-ladder parse."""
+    from .csvio import read_mds_csv
+
+    payloads, ids = [], []
+    for i in range(20):
+        sep = ";" if i % 3 else ","
+        rows = "\n".join(
+            f"Município {j}{sep}MG{sep}2023{sep}{1 + j % 12}{sep}R$ {j},00{sep}c{j}{sep}R$ {j * 2},50"
+            for j in range(i + 1)
+        )
+        head = f"municipio{sep}uf{sep}ano{sep}mes{sep}parcela{sep}conta{sep}saldo"
+        payloads.append(f"Relatório exportado\n{head}\n{rows}\n".encode("latin-1"))
+        ids.append(f"csv-{i:02d}")
+    t = pa.table(
+        {"csv_id": pa.array(ids, type=pa.string()),
+         "payload": pa.array(payloads, type=pa.binary())}
+    )
+    return read_mds_csv(rd.from_arrow(t))

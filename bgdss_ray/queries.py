@@ -1,0 +1,451 @@
+"""Relational operator suite over the driver's testdata tables.
+
+Each function here is one ``queries()`` entry in ``__ray_entry__.py``; each
+has a DuckDB oracle in ``oracle_sql()``. They exercise the reference's
+relational surface (SURVEY.md §2.3/2.6/2.7/2.8/2.9) re-expressed as Ray Data
+pipelines: consolidation aggregates, broadcast joins with sentinel fill,
+first-occurrence-wins dedup, top-k, argmax-per-group, windowed (hourly)
+aggregates, regex field extraction, token counting.
+
+Exact-match discipline (the driver value-hashes results):
+- money/value sums go through per-row integer cents computed as
+  floor(x*100 + 0.5) — identical IEEE double ops on both sides, so sums are
+  exact int64 on both sides;
+- averages are derived from those exact ints with one ROUND(.,4);
+- raw doubles pass through untouched (no re-arithmetic);
+- every computed column is explicitly named to match the SQL alias.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .config import NOT_CLASSIFIED, SENTINEL
+
+
+def _pq(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — bit-deterministic double ops."""
+    return pc.floor(pc.add(pc.multiply(arr, 100.0), 0.5)).cast(pa.int64())
+
+
+# --------------------------------------------------------------- q01
+def consolidation_sums(sf_dir: str):
+    """Q1-style run consolidation (portal_saude_ui.py:1459-1508 semantics:
+    sum/count across periods) over lineitem."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity",
+              "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(np.datetime64("1999-01-01", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        qty = t["l_quantity"].cast(pa.int64())
+        base = _cents(t["l_extendedprice"])
+        disc = _cents(pc.multiply(t["l_extendedprice"],
+                                  pc.subtract(1.0, t["l_discount"])))
+        return pa.Table.from_arrays(
+            [t["l_returnflag"], t["l_linestatus"], qty,
+             pa.chunked_array([base]) if isinstance(base, pa.Array) else base,
+             pa.chunked_array([disc]) if isinstance(disc, pa.Array) else disc],
+            names=["l_returnflag", "l_linestatus", "qty", "base_cents", "disc_cents"],
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out
+
+
+CONSOLIDATION_SUMS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------- q02
+def run_summary(sf_dir: str):
+    """Run-summary envelope sums (files/size/duration analog) per priority."""
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": t["o_orderpriority"],
+             "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("price_cents", alias_name="total_cents"))
+    )
+
+
+RUN_SUMMARY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS total_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------- q03
+def broadcast_join_segment(sf_dir: str):
+    """Broadcast-small-side join (url_mapping manifest pattern,
+    pdf_call.py:164-173): customer dim broadcast via ray.put, looked up
+    per batch; then grouped revenue."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join(t: pa.Table) -> pa.Table:
+        seg_map = ray.get(ref)
+        segs = pd.Series(t["o_custkey"].to_numpy()).map(seg_map).fillna(SENTINEL)
+        return pa.table(
+            {"c_mktsegment": pa.array(segs, type=pa.string()),
+             "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    return (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("price_cents", alias_name="revenue_cents"))
+    )
+
+
+BROADCAST_JOIN_SEGMENT_SQL = """
+SELECT COALESCE(c.c_mktsegment, 'NÃO INFORMADO') AS c_mktsegment,
+       COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- q04
+def customer_order_counts(sf_dir: str):
+    """Left join with null→0 fill (the reference's left-join sentinel fill,
+    pdf_call.py:101-103, in count form): every customer, order count."""
+    counts = (
+        _pq(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    cmap = dict(zip(counts["o_custkey"], counts["n_orders"]))
+    ref = ray.put(cmap)
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def join(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        n = pd.Series(t["c_custkey"].to_numpy()).map(m).fillna(0).astype("int64")
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "c_mktsegment": t["c_mktsegment"],
+             "n_orders": pa.array(n, type=pa.int64())}
+        )
+
+    return ds.map_batches(join, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- q05
+def dedup_first_wins(sf_dir: str):
+    """First-occurrence-wins dedup (portal_saude_mg.py:417-422 semantics)
+    on events keyed (user_id, event_type); first = min event_id."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("event_id").head(1)
+
+    return (
+        ds.groupby(["user_id", "event_type"])
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+DEDUP_FIRST_WINS_SQL = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------- q06
+def topk_orders(sf_dir: str):
+    """Top-10 by totalprice, deterministic tie-break by orderkey
+    (argmax-by-mtime analog, mds_parcelas.py:527-530)."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- q07
+def latest_event_per_user(sf_dir: str):
+    """Per-group argmax by timestamp (newest-file-wins,
+    mds_saldo.py:814-817): each user's latest event."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def newest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+
+    return ds.groupby("user_id").map_groups(newest, batch_format="pandas")
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT event_id, user_id, ts, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------- q08
+def filter_length_gate(sf_dir: str):
+    """The extraction length gate (pdf_call.py:73-81) as a filter."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], 100)),
+        batch_format="pyarrow",
+    )
+
+
+FILTER_LENGTH_GATE_SQL = """
+SELECT doc_id, n_chars, lang FROM documents WHERE n_chars >= 100
+"""
+
+
+# --------------------------------------------------------------- q09
+def source_summary(sf_dir: str):
+    """Per-source consolidation: counts, char totals, exact-derived avg."""
+    ds = _pq(sf_dir, "documents", ["source", "n_chars"])
+    agg = (
+        ds.groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    agg["avg_chars"] = (agg["total_chars"] * 1.0 / agg["n_docs"]).round(4)
+    agg["total_chars"] = agg["total_chars"].astype("int64")
+    return agg
+
+
+SOURCE_SUMMARY_SQL = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       ROUND(SUM(n_chars)*1.0/COUNT(*), 4) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------- q10
+def events_hourly(sf_dir: str):
+    """Tumbling-window (hourly) aggregate per event type."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"],
+             "hour": pc.floor_temporal(t["ts"], unit="hour"),
+             "value_cents": _cents(t["value"])}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- q11
+def token_count(sf_dir: str):
+    """Whitespace token count (Arrow kernels; matches
+    regexp_split_to_array semantics exactly)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        return pa.table({"doc_id": t["doc_id"], "ws_tokens": n.cast(pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- q12
+def props_stats(sf_dir: str):
+    """Regex extraction + char-class counting over the events props JSON
+    (the budget-code / currency extraction pattern, validators.py:77-144)."""
+    ds = _pq(sf_dir, "events", ["event_id", "props"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["props"].fillna("")
+        out = pd.DataFrame({"event_id": df["event_id"]})
+        out["k_num"] = s.str.extract(r"(\d+)", expand=False).fillna("")
+        out["n_digits"] = s.str.count(r"\d").astype("int64")
+        out["n_punct"] = s.str.count(r"[^\w\s]").astype("int64")
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+PROPS_STATS_SQL = r"""
+SELECT event_id,
+       regexp_extract(props, '(\d+)', 1) AS k_num,
+       CAST(length(regexp_replace(props, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       CAST(length(regexp_replace(props, '[\w\s]', '', 'g')) AS BIGINT) AS n_punct
+FROM events
+"""
+
+
+# --------------------------------------------------------------- q13
+def extract_fields_sentinel(sf_dir: str):
+    """The 7-field regex contract applied to arbitrary text with sentinel
+    fill — parity check of extraction + sentinel semantics vs SQL."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fields(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        out = pd.DataFrame({"doc_id": df["doc_id"]})
+        num = t.str.extract(r"\b(\d{1,5}/20\d{2})\b", expand=False)
+        out["numero_resolucao"] = num.fillna(SENTINEL).replace("", SENTINEL)
+        cur = t.str.extract(r"(R\$\s*[\d.,]+)", expand=False)
+        out["primeiro_valor"] = cur.fillna(SENTINEL).replace("", SENTINEL)
+        code = t.str.extract(r"\b(301|302|303|304|305|306|122|242)\b", expand=False)
+        out["primeiro_codigo"] = code.fillna("").replace("", NOT_CLASSIFIED)
+        return out
+
+    return ds.map_batches(fields, batch_format="pandas")
+
+
+EXTRACT_FIELDS_SENTINEL_SQL = r"""
+SELECT doc_id,
+       CASE WHEN regexp_extract(text, '\b(\d{1,5}/20\d{2})\b', 1) = ''
+            THEN 'NÃO INFORMADO'
+            ELSE regexp_extract(text, '\b(\d{1,5}/20\d{2})\b', 1) END AS numero_resolucao,
+       CASE WHEN regexp_extract(text, '(R\$\s*[\d.,]+)', 1) = ''
+            THEN 'NÃO INFORMADO'
+            ELSE regexp_extract(text, '(R\$\s*[\d.,]+)', 1) END AS primeiro_valor,
+       CASE WHEN regexp_extract(text, '\b(301|302|303|304|305|306|122|242)\b', 1) = ''
+            THEN 'NÃO CLASSIFICADO'
+            ELSE regexp_extract(text, '\b(301|302|303|304|305|306|122|242)\b', 1) END AS primeiro_codigo
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- q14
+def dedup_exact_text(sf_dir: str):
+    """Exact content dedup keep-min-id (hash-partitioned groupby)."""
+    from .ops.dedup import exact_dedup
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, id_col="doc_id", text_col="text")
+    return out.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+DEDUP_EXACT_TEXT_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------- q15
+def ann_topk_members(sf_dir: str):
+    """Exact cosine top-10 membership for query vectors vec_id<5.
+
+    Only (query_id, id) pairs are output: membership is stable across
+    float32 (DuckDB list_cosine_similarity) vs float64 (numpy) scoring;
+    ranks/scores are not (last-ulp ties)."""
+    from .ops.similarity import brute_force_topk
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).to_pandas()
+    qmat = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    out = brute_force_topk(ds, qdf["vec_id"].to_numpy(), qmat, k=10)
+    res = out[["query_id", "id"]].copy()
+    res["query_id"] = res["query_id"].astype("int64")
+    res["id"] = res["id"].astype("int64")
+    return res
+
+
+ANN_TOPK_MEMBERS_SQL = """
+SELECT query_id, id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS id,
+         ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                     e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+) WHERE rn <= 10
+"""
+
+
+SQL_PAIRED = {
+    "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
+    "run_summary": (run_summary, RUN_SUMMARY_SQL),
+    "broadcast_join_segment": (broadcast_join_segment, BROADCAST_JOIN_SEGMENT_SQL),
+    "customer_order_counts": (customer_order_counts, CUSTOMER_ORDER_COUNTS_SQL),
+    "dedup_first_wins": (dedup_first_wins, DEDUP_FIRST_WINS_SQL),
+    "topk_orders": (topk_orders, TOPK_ORDERS_SQL),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
+    "filter_length_gate": (filter_length_gate, FILTER_LENGTH_GATE_SQL),
+    "source_summary": (source_summary, SOURCE_SUMMARY_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "props_stats": (props_stats, PROPS_STATS_SQL),
+    "extract_fields_sentinel": (extract_fields_sentinel, EXTRACT_FIELDS_SENTINEL_SQL),
+    "dedup_exact_text": (dedup_exact_text, DEDUP_EXACT_TEXT_SQL),
+    "ann_topk_members": (ann_topk_members, ANN_TOPK_MEMBERS_SQL),
+}

@@ -1,0 +1,91 @@
+"""Mimic the driver's correctness gate locally: every SQL-paired query must
+match its DuckDB oracle (row count, schema names, order-insensitive values)
+at sf0.001; rows-only queries must produce stable non-erroring results."""
+
+import importlib.util
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _to_df(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_sql_paired_queries_match_duckdb(entry_mod, con):
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    failures = []
+    for name, sql in sqls.items():
+        got = _normalize(_to_df(qs[name](SF)))
+        want = _normalize(con.execute(sql).fetchdf())
+        if list(got.columns) != list(want.columns):
+            failures.append(f"{name}: columns {list(got.columns)} != {list(want.columns)}")
+            continue
+        if len(got) != len(want):
+            failures.append(f"{name}: rows {len(got)} != {len(want)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False, check_exact=False, rtol=0, atol=0
+            )
+        except AssertionError as e:
+            failures.append(f"{name}: values differ: {str(e)[:300]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_rows_only_queries_run(entry_mod):
+    qs = entry_mod.queries()
+    sqls = set(entry_mod.oracle_sql())
+    for name, fn in qs.items():
+        if name in sqls:
+            continue
+        df = _to_df(fn(SF))
+        assert df is not None and len(df) >= 0, name
+        assert len(df.columns) > 0, name
+
+
+def test_entry_smoke(entry_mod):
+    ds = entry_mod.entry()
+    df = _to_df(ds)
+    assert len(df) > 0
+    assert {"doc_id", "numero_resolucao", "quality_score"} <= set(df.columns)
