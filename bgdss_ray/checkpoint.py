@@ -113,7 +113,11 @@ class CrawlCheckpoint:
         return pq.read_table(p) if os.path.exists(p) else None
 
     def read_all(self, kind: str) -> pa.Table | None:
-        """Concatenate all wave partitions of documents/crawl_log/metrics."""
+        """Concatenate all wave partitions of documents/crawl_log/metrics.
+
+        A wave dir may hold one driver-written part file or several
+        executor-written parquet files (ds.write_parquet) — read them all.
+        """
         root = os.path.join(self.dir, kind)
         if not os.path.isdir(root):
             return None
@@ -123,7 +127,12 @@ class CrawlCheckpoint:
         )
         tables = []
         for d in waves:
-            p = os.path.join(root, d, "part-0.parquet")
-            if os.path.exists(p):
-                tables.append(pq.read_table(p))
+            wd = os.path.join(root, d)
+            files = sorted(
+                f for f in os.listdir(wd) if f.endswith(".parquet")
+            )
+            for f in files:
+                t = pq.read_table(os.path.join(wd, f))
+                if t.num_rows:
+                    tables.append(t)
         return pa.concat_tables(tables) if tables else None

@@ -40,6 +40,7 @@ class CrawlConfig:
     max_pages: int = 1_000_000            # global page budget
     min_pdf_bytes: int = 1024             # PDF validity floor (portal_saude_mg.py:539-561)
     pdf_magic: bytes = b"%PDF-"
+    respect_robots: bool = True           # enforced (reference only declares it)
     min_text_chars: int = 100             # extraction length gate (pdf_call.py:73-81)
     max_text_chars: int = 20_000          # extraction truncation (pdf_call.py:246)
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)

@@ -19,7 +19,28 @@ from .seen import ShardedSeenSet
 from .synth import SynthWeb
 from .urlnorm import host_of, url_hash64
 
-CANDIDATE_COLUMNS = ["url", "title", "depth", "parent_rank", "link_pos"]
+CANDIDATE_COLUMNS = ["url", "depth", "parent_rank", "link_pos"]
+
+_HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/?#:]+)"
+
+
+def hosts_and_kinds(url_col) -> tuple[list[str], list[str]]:
+    """Vectorized host + kind extraction from canonical URLs.
+
+    Equivalent to [host_of(u)] / [SynthWeb.classify(u)] per URL (canonical
+    URLs have lowercase hosts already); pandas str kernels instead of
+    urlsplit per row. Parity with the scalar path is covered by the
+    crawl-vs-oracle equality tests.
+    """
+    s = pd.Series(url_col.to_pylist() if hasattr(url_col, "to_pylist") else url_col)
+    hosts = s.str.extract(_HOST_RE, expand=False).fillna("")
+    path = s.str.replace(_HOST_RE, "", regex=True).str.split("?").str[0]
+    kinds = np.where(
+        path.str.startswith("/docs/") & path.str.endswith(".pdf"),
+        "pdf",
+        np.where(path.str.startswith("/resolucoes"), "listing", "other"),
+    )
+    return hosts.tolist(), kinds.tolist()
 
 _ORDER_SHIFT = np.int64(1) << np.int64(32)
 
@@ -36,9 +57,14 @@ def dedup_candidates(table: pa.Table) -> pa.Table:
     equivalent; tests assert identical output.
     """
     if table.num_rows == 0:
-        return table.append_column("url_hash", pa.array([], type=pa.uint64()))
-    urls = table.column("url").to_pylist()
-    hashes = url_hash64(urls)
+        if "url_hash" not in table.schema.names:
+            table = table.append_column("url_hash", pa.array([], type=pa.uint64()))
+        return table
+    if "url_hash" in table.schema.names:
+        hashes = table.column("url_hash").to_numpy(zero_copy_only=False)
+        table = table.drop_columns(["url_hash"])
+    else:
+        hashes = url_hash64(table.column("url").to_pylist())
     keys = order_key(
         table.column("parent_rank").to_numpy(zero_copy_only=False),
         table.column("link_pos").to_numpy(zero_copy_only=False),
@@ -65,14 +91,14 @@ def dedup_candidates_grouped(ds) -> pa.Table:
     import ray.data  # local import: module must import without ray initialised
 
     def add_keys(batch: pa.Table) -> pa.Table:
-        hashes = url_hash64(batch.column("url").to_pylist())
+        if "url_hash" not in batch.schema.names:
+            hashes = url_hash64(batch.column("url").to_pylist())
+            batch = batch.append_column("url_hash", pa.array(hashes, type=pa.uint64()))
         keys = order_key(
             batch.column("parent_rank").to_numpy(zero_copy_only=False),
             batch.column("link_pos").to_numpy(zero_copy_only=False),
         )
-        return batch.append_column(
-            "url_hash", pa.array(hashes, type=pa.uint64())
-        ).append_column("okey", pa.array(keys, type=pa.int64()))
+        return batch.append_column("okey", pa.array(keys, type=pa.int64()))
 
     def first_wins(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("okey").head(1)
@@ -106,6 +132,30 @@ def dedup_candidates_grouped(ds) -> pa.Table:
     return out
 
 
+def robots_allowed_mask(urls: pd.Series, hosts: pd.Series, robots) -> np.ndarray:
+    """Vectorized Disallow-prefix check: one groupby pass to get each
+    host's row indices (O(rows)), then subset prefix checks only for hosts
+    that actually declare Disallow rules."""
+    mask = np.ones(len(urls), dtype=bool)
+    host_rows = hosts.groupby(hosts, sort=False).indices
+    blocked_hosts = {
+        h: robots.rules_for(h).disallow
+        for h in host_rows
+        if robots.rules_for(h).disallow
+    }
+    if not blocked_hosts:
+        return mask
+    paths = urls.str.replace(_HOST_RE, "", regex=True).str.split("?").str[0]
+    for host, disallow in blocked_hosts.items():
+        idx = host_rows[host]
+        sub = paths.iloc[idx]
+        bad = np.zeros(len(idx), dtype=bool)
+        for d in disallow:
+            bad |= sub.str.startswith(d).to_numpy()
+        mask[idx] = ~bad
+    return mask
+
+
 def admit_wave(
     candidates: pa.Table,
     seen: ShardedSeenSet,
@@ -114,8 +164,10 @@ def admit_wave(
     budget_left: int,
     web: SynthWeb,
     cfg: CrawlConfig,
+    robots=None,
 ) -> tuple[pa.Table, np.ndarray]:
-    """Dedup candidates, drop seen/too-deep, rank, politeness-schedule.
+    """Dedup candidates, drop too-deep/robots-blocked/seen, rank,
+    politeness-schedule.
 
     Returns (wave table ready for FetchStage, new seen hashes). ``candidates``
     must already be in-wave deduped (carry url_hash).
@@ -138,27 +190,63 @@ def admit_wave(
     order = np.argsort(keys, kind="stable")
     candidates = candidates.take(pa.array(order))
 
+    # host/kind are precomputed in the parallel wave stage (crawled
+    # candidates) or at seed build; fall back to driver extraction only
+    # for tables that lack them.
+    if "host" in candidates.schema.names:
+        host_series = candidates.column("host").to_pandas()
+        all_kinds = candidates.column("kind").to_pylist()
+        url_series = None  # only materialized if a robots rule needs paths
+    else:
+        url_series = candidates.column("url").to_pandas()
+        all_hosts, all_kinds = hosts_and_kinds(url_series)
+        host_series = pd.Series(all_hosts)
+
+    # robots gate: blocked URLs never reach the seen set (oracle parity)
+    if robots is not None:
+        if url_series is None:
+            url_series = candidates.column("url").to_pandas()
+        allowed = robots_allowed_mask(url_series, host_series, robots)
+        if not allowed.all():
+            candidates = candidates.filter(pa.array(allowed))
+            host_series = host_series[allowed].reset_index(drop=True)
+            all_kinds = [k for k, a in zip(all_kinds, allowed) if a]
+            if candidates.num_rows == 0:
+                return _empty_wave(), np.empty(0, dtype=np.uint64)
+
     hashes = candidates.column("url_hash").to_numpy(zero_copy_only=False)
 
     new_mask = seen.check_and_add(hashes)  # marks seen = "enqueued", oracle parity
     new_hashes = hashes[new_mask]
 
     admitted = candidates.filter(pa.array(new_mask))
+    hosts = host_series[new_mask].tolist()
+    kinds = [k for k, m in zip(all_kinds, new_mask) if m]
     if admitted.num_rows > budget_left:
         admitted = admitted.slice(0, budget_left)
+        hosts = hosts[:budget_left]
+        kinds = kinds[:budget_left]
     m = admitted.num_rows
     if m == 0:
         return _empty_wave(), new_hashes
 
-    urls = admitted.column("url").to_pylist()
-    hosts = [host_of(u) for u in urls]
-    kinds = [web.classify(u) for u in urls]
-    vtimes = assign_vtimes(hosts, kinds, host_state, cfg.politeness)
+    delays = None
+    if robots is not None:
+        delays = {}
+        for h in set(hosts):
+            d = robots.crawl_delay(h)
+            if d is not None:
+                delays[h] = d
+    vtimes = assign_vtimes(hosts, kinds, host_state, cfg.politeness, delays)
+    if "host" in admitted.schema.names:
+        host_col = admitted.column("host")  # reuse arrow column, no rebuild
+    else:
+        host_col = pa.array(hosts, type=pa.string())
     wave = pa.Table.from_arrays(
         [
             admitted.column("url"),
             admitted.column("url_hash").cast(pa.uint64()),
-            pa.array(hosts, type=pa.string()),
+            host_col,
             admitted.column("depth").cast(pa.int32()),
             pa.array(np.arange(next_rank, next_rank + m, dtype=np.int64)),
             pa.array(np.asarray(vtimes, dtype=np.float64)),
@@ -183,16 +271,20 @@ def _empty_wave() -> pa.Table:
 
 
 def seeds_to_candidates(seed_rows: list[dict]) -> pa.Table:
-    """Seed list → candidate table (parent_rank=-1, link_pos=seed seq)."""
+    """Seed list → candidate table (parent_rank=-1, link_pos=seed seq),
+    with host/kind precomputed like crawled candidates carry."""
     from .urlnorm import canonicalize
 
+    urls = [canonicalize(r["url"]) for r in seed_rows]
+    hosts, kinds = hosts_and_kinds(pd.Series(urls)) if urls else ([], [])
     return pa.Table.from_arrays(
         [
-            pa.array([canonicalize(r["url"]) for r in seed_rows], type=pa.string()),
-            pa.array([r.get("title", "") for r in seed_rows], type=pa.string()),
+            pa.array(urls, type=pa.string()),
             pa.array(np.zeros(len(seed_rows), dtype=np.int32)),
             pa.array(np.full(len(seed_rows), -1, dtype=np.int64)),
             pa.array(np.asarray([r["seq"] for r in seed_rows], dtype=np.int32)),
+            pa.array(hosts, type=pa.string()),
+            pa.array(kinds, type=pa.string()),
         ],
-        names=CANDIDATE_COLUMNS,
+        names=CANDIDATE_COLUMNS + ["host", "kind"],
     )

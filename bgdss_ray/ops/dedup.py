@@ -171,18 +171,46 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_lsh_candidates(ds, n_perm=128, n_bands=16, seed=7, shingle_k=3):
-    """(id, text) dataset → unique candidate pair DataFrame (driver-sized)."""
+    """(id, text) dataset → unique candidate pair DataFrame (driver-sized).
+
+    Bucket-join strategy: a native Count aggregate finds hot buckets
+    (|bucket| > 1) — C-speed, no per-group Python — then only rows in hot
+    buckets are pulled (broadcast key-set filter inside map_batches) and
+    paired locally. The collected set is O(near-duplicates), not O(corpus):
+    at 10^10 docs the counts shuffle is the only wide op.
+    """
+    from ray.data.aggregate import Count
+
     rows_per_band = n_perm // n_bands
     sig_ds = ds.map_batches(
         MinHasher(n_perm, seed, shingle_k), batch_format="pyarrow", batch_size=1024
     )
     banded = sig_ds.map_batches(
         band_explode(n_bands, rows_per_band), batch_format="pyarrow"
-    )
-    pairs = (
+    ).materialize()  # reused by counts + filter passes
+    counts = (
         banded.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        .aggregate(Count(alias_name="n"))
         .to_pandas()
+    )
+    hot = counts[counts["n"] > 1]
+    if hot.empty:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    hot_keys = set(zip(hot["band_id"].tolist(), hot["band_hash"].tolist()))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        mask = [
+            (b, h) in hot_keys
+            for b, h in zip(df["band_id"].tolist(), df["band_hash"].tolist())
+        ]
+        return df[np.asarray(mask, dtype=bool)]
+
+    members = banded.map_batches(pick, batch_format="pandas").to_pandas()
+    frames = [
+        _bucket_pairs(g) for _key, g in members.groupby(["band_id", "band_hash"])
+    ]
+    pairs = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"id_a": [], "id_b": []}
     )
     if pairs.empty:
         return pairs

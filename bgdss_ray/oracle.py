@@ -40,13 +40,26 @@ def crawl_oracle(
     cfg: CrawlConfig = DEFAULT_CRAWL,
 ) -> OracleResult:
     """Run the sequential crawl to completion (or cfg.max_pages)."""
+    from urllib.parse import urlsplit
+
+    from .robots import RobotsIndex
+
     res = OracleResult()
     host_state: dict[str, HostState] = {}
     queue: deque[tuple[str, int]] = deque()  # (url_canon, depth)
+    robots = RobotsIndex(web.robots_body) if cfg.respect_robots else None
+
+    def blocked(url: str) -> bool:
+        if robots is None:
+            return False
+        s = urlsplit(url)
+        return not robots.allowed(s.hostname or "", s.path)
 
     # Seed enqueue, first-occurrence-wins in seed order.
     for s in seeds:
         canon = canonicalize(s["url"])
+        if blocked(canon):
+            continue
         h = hash64_one(canon)
         if h in res.seen:
             continue
@@ -56,8 +69,15 @@ def crawl_oracle(
     while queue and len(res.crawl_order) < cfg.max_pages:
         url, depth = queue.popleft()
         kind = web.classify(url)
-        # politeness vtime for this request (pure fold; shared with engine)
-        vt = assign_vtimes([host_of(url)], [kind], host_state, cfg.politeness)[0]
+        host = host_of(url)
+        # politeness vtime for this request (pure fold; shared with engine);
+        # robots Crawl-delay overrides the default host delay
+        delays = (
+            {host: robots.crawl_delay(host)}
+            if robots is not None and robots.crawl_delay(host) is not None
+            else None
+        )
+        vt = assign_vtimes([host], [kind], host_state, cfg.politeness, delays)[0]
 
         status, body, attempt = 0, b"", 0
         for attempt in range(1, cfg.retry.max_attempts + 1):
@@ -79,6 +99,8 @@ def crawl_oracle(
             res.documents.append((url, spans))
             if depth + 1 <= cfg.max_depth:
                 for child, _title in links_of(spans):
+                    if blocked(child):
+                        continue
                     h = hash64_one(child)
                     if h in res.seen:
                         continue

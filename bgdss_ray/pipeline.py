@@ -44,6 +44,7 @@ from .frontier import (
     seeds_to_candidates,
 )
 from .parse import extract_links_batch, parse_spans_batch
+from .wavestage import WaveStage, explode_links, wave_stage_batch
 from .politeness import HostState
 from .seen import ShardedSeenSet
 from .synth import SynthWeb, SynthWebConfig
@@ -70,6 +71,15 @@ class CrawlRunResult:
     wall_s: float
 
 
+def _docs_from_processed(t: pa.Table) -> pa.Table:
+    """Processed wave rows → DOCUMENTS rows (pages that yielded spans)."""
+    mask = pa.compute.is_valid(t.column("spans"))
+    kept = t.filter(mask)
+    return pa.Table.from_arrays(
+        [kept.column("url"), kept.column("spans")], names=["doc_id", "spans"]
+    )
+
+
 def _ds_to_table(ds) -> pa.Table:
     parts = [b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
     if not parts:
@@ -88,8 +98,11 @@ def crawl(
     fetch_concurrency: int | None = None,
 ) -> CrawlRunResult:
     """Run (or resume) the crawl to frontier exhaustion or cfg.max_pages."""
+    from .robots import RobotsIndex
+
     t0 = time.perf_counter()
     web = SynthWeb(web_cfg)
+    robots = RobotsIndex(web.robots_body) if cfg.respect_robots else None
     ckpt = CrawlCheckpoint(out_dir)
     seen = ShardedSeenSet(
         n_shards=cfg.seen_shards, mode=seen_mode, use_actors=use_seen_actors
@@ -115,7 +128,7 @@ def crawl(
             return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
         wave, new_hashes = _admit_precomputed(
             candidates, seen, host_state, next_rank, cfg, web,
-            budget_left=cfg.max_pages - pages_fetched,
+            budget_left=cfg.max_pages - pages_fetched, robots=robots,
         )
     else:
         os.makedirs(out_dir, exist_ok=True)
@@ -123,74 +136,73 @@ def crawl(
         cand = dedup_candidates(seeds_to_candidates(seed_rows))
         wave, new_hashes = admit_wave(
             cand, seen, host_state, next_rank,
-            cfg.max_pages - pages_fetched, web, cfg,
+            cfg.max_pages - pages_fetched, web, cfg, robots=robots,
         )
+
+    profile = bool(os.environ.get("BGDSS_PROFILE"))
 
     while wave.num_rows > 0:
         wt0 = time.perf_counter()
         n_wave = wave.num_rows
         next_rank += n_wave
+        _t = time.perf_counter
 
-        # --- one streaming pass over the wave -------------------------
-        # Small waves: stateless tasks (per-worker module caches hold the
-        # fetch session / compiled regexes — no actor startup per wave).
-        # Large waves: explicit actor pool, startup amortized over the wave.
-        ds = rd.from_arrow(wave)
-        n_blocks = max(1, min(concurrency * 4, n_wave // 64 or 1))
-        ds = ds.repartition(n_blocks) if n_blocks > 1 else ds
+        # --- ONE heavy pass over the wave: fetch + parse + link-extract.
+        # Everything per-page happens inside WaveStage; only cheap
+        # column-select passes follow (bodies never leave the stage).
+        # Block count is bounded so scheduling overhead stays constant.
+        # Blocks = zero-copy slices of the wave table (no repartition
+        # execution); >=2048 rows per block keeps per-task overhead <5%.
+        wave = wave.combine_chunks()
+        n_blocks = max(1, min(concurrency * 2, -(-n_wave // 2048)))
+        step = -(-n_wave // n_blocks)
+        slices = [wave.slice(i, step) for i in range(0, n_wave, step)]
+        ds = rd.from_arrow(slices)
+        docs_dir = ckpt.wave_dir("documents", wave_no)
+        log_dir = ckpt.wave_dir("crawl_log", wave_no)
+        t_prep = _t()
         if n_wave >= ACTOR_POOL_WAVE_THRESHOLD:
-            fetched = ds.map_batches(
-                FetchStage,
-                fn_constructor_args=(web_cfg, cfg),
+            processed = ds.map_batches(
+                WaveStage,
+                fn_constructor_args=(web_cfg, cfg, docs_dir, log_dir),
                 batch_format="pyarrow",
-                batch_size=256,
+                batch_size=None,
                 concurrency=concurrency,
                 num_cpus=1,
-            ).materialize()
+            )
         else:
-            fetched = ds.map_batches(
-                partial(fetch_batch, web_cfg=web_cfg, cfg=cfg),
+            processed = ds.map_batches(
+                partial(wave_stage_batch, web_cfg=web_cfg, cfg=cfg,
+                        docs_dir=docs_dir, log_dir=log_dir),
                 batch_format="pyarrow",
-                batch_size=256,
-            ).materialize()  # wave-bounded; reused by docs + links + log passes
+                batch_size=None,
+            )
+        # ONE Ray execution per wave: per-page work + docs AND crawl-log
+        # parquet writes happen inside the stage; the driver collects only
+        # the slim control columns + candidate links.
+        log_links = _ds_to_table(processed)
+        t_map = _t()
+        t_docs = _t()
 
-        docs_ds = fetched.map_batches(
-            partial(
-                parse_spans_batch,
-                min_pdf_bytes=cfg.min_pdf_bytes,
-                pdf_magic=cfg.pdf_magic,
-            ),
-            batch_format="pyarrow",
-            batch_size=1024,
-        )
-        docs_table = _ds_to_table(docs_ds)
-        n_docs = docs_table.num_rows if docs_table is not None else 0
-        if docs_table is not None:
-            ckpt.write_table("documents", wave_no, docs_table)
-
-        log_ds = fetched.map_batches(
-            lambda b: b.drop_columns(["body"]),
-            batch_format="pyarrow",
-        )
-        log_table = _ds_to_table(log_ds)
-        if log_table is not None:
-            ckpt.write_table("crawl_log", wave_no, log_table.select(CRAWL_LOG_COLUMNS))
-        n_err = (
-            int(pa.compute.sum(
-                pa.compute.not_equal(log_table.column("status"), 200)
-            ).as_py() or 0)
-            if log_table is not None else 0
+        n_docs = int(pa.compute.sum(log_links.column("has_doc")).as_py() or 0)
+        n_err = int(
+            pa.compute.sum(
+                pa.compute.not_equal(log_links.column("status"), 200)
+            ).as_py() or 0
         )
 
-        links_ds = fetched.map_batches(
-            extract_links_batch, batch_format="pyarrow", batch_size=1024
-        )
-        n_candidates_est = links_ds.count()
-        if n_candidates_est > DISTRIBUTED_DEDUP_THRESHOLD:
-            cand = dedup_candidates_grouped(links_ds)
-        else:
-            links_table = _ds_to_table(links_ds)
-            cand = dedup_candidates(links_table) if links_table is not None else None
+        t_log = _t()
+        links_table = explode_links(log_links)
+        cand = dedup_candidates(links_table) if links_table.num_rows else None
+        t_links = _t()
+        if profile:
+            print(
+                f"[wave {wave_no}] n={n_wave} prep={t_prep - wt0:.2f} "
+                f"map={t_map - t_prep:.2f} "
+                f"docs_write={t_docs - t_map:.2f} log_collect={t_log - t_docs:.2f} "
+                f"links_dedup={t_links - t_log:.2f}",
+                flush=True,
+            )
 
         # --- bookkeeping / checkpoint ---------------------------------
         pages_fetched += n_wave
@@ -212,18 +224,26 @@ def crawl(
         budget_left = cfg.max_pages - pages_fetched
         if cand is None or cand.num_rows == 0 or budget_left <= 0:
             break
+        t_adm0 = time.perf_counter()
         wave, new_hashes = _admit_precomputed(
-            cand, seen, host_state, next_rank, cfg, web, budget_left
+            cand, seen, host_state, next_rank, cfg, web, budget_left,
+            robots=robots,
         )
+        if profile:
+            print(f"[admit after wave {wave_no - 1}] n_cand={cand.num_rows} "
+                  f"admit={time.perf_counter() - t_adm0:.2f}", flush=True)
 
     return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
 
 
 def _admit_precomputed(candidates, seen, host_state, next_rank, cfg, web,
-                       budget_left: int | None = None):
+                       budget_left: int | None = None, robots=None):
     if budget_left is None:
         budget_left = cfg.max_pages
-    return admit_wave(candidates, seen, host_state, next_rank, budget_left, web, cfg)
+    return admit_wave(
+        candidates, seen, host_state, next_rank, budget_left, web, cfg,
+        robots=robots,
+    )
 
 
 def _write_metrics(ckpt, wave_no, n_wave, n_err, n_docs, n_new, n_dup, wall):

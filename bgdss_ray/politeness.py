@@ -32,12 +32,22 @@ class HostState:
     window: deque = field(default_factory=deque)  # vtimes of recent requests
 
 
-def next_vtime(state: HostState, kind: str, cfg: PolitenessConfig) -> float:
-    """Virtual start time for the next request to this host; mutates state."""
+def next_vtime(
+    state: HostState,
+    kind: str,
+    cfg: PolitenessConfig,
+    delay_override: float | None = None,
+) -> float:
+    """Virtual start time for the next request to this host; mutates state.
+
+    ``delay_override`` is the host's robots.txt Crawl-delay when declared
+    (north rule: robots + crawl-delay budgets); otherwise the default.
+    """
+    delay = cfg.default_delay_s if delay_override is None else delay_override
     if state.count < cfg.burst_allowance:
         t = state.last_vtime
     else:
-        t = state.last_vtime + cfg.default_delay_s
+        t = state.last_vtime + delay
     # sliding-window requests_per_minute cap
     if len(state.window) >= cfg.requests_per_minute:
         t = max(t, state.window[0] + 60.0)
@@ -58,16 +68,18 @@ def assign_vtimes(
     kinds: list[str],
     state: dict[str, HostState],
     cfg: PolitenessConfig,
+    delays: dict[str, float] | None = None,
 ) -> list[float]:
     """Assign virtual fetch times to an ordered request sequence.
 
     ``state`` carries across calls (waves); pass the same dict to keep one
-    continuous per-host budget over the whole crawl.
+    continuous per-host budget over the whole crawl. ``delays`` maps hosts
+    to robots Crawl-delay overrides.
     """
     out = []
     for h, k in zip(hosts, kinds):
         st = state.get(h)
         if st is None:
             st = state[h] = HostState()
-        out.append(next_vtime(st, k, cfg))
+        out.append(next_vtime(st, k, cfg, delays.get(h) if delays else None))
     return out

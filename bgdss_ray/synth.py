@@ -272,6 +272,21 @@ class SynthWeb:
             body += b"\n%" + b"." * (1400 - len(body))
         return body
 
+    def robots_body(self, host: str) -> str | None:
+        """Deterministic robots.txt per host: ~25% disallow the first
+        year's /docs/ tree, ~30% declare a Crawl-delay (1s or 3s, vs the
+        2s default budget). None → no robots file (allow all)."""
+        u1 = self._u("robots_dis", host)
+        u2 = self._u("robots_delay", host)
+        lines = ["User-agent: *"]
+        if u1 < 0.25:
+            lines.append(f"Disallow: /docs/{min(self.cfg.years)}/")
+        if u2 < 0.15:
+            lines.append("Crawl-delay: 1")
+        elif u2 < 0.30:
+            lines.append("Crawl-delay: 3")
+        return "\n".join(lines) if len(lines) > 1 else None
+
     # -- the fetch function --------------------------------------------
     def status_of(self, url_canon: str, attempt: int) -> int:
         u = self._u("status", url_canon)

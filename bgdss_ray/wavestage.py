@@ -1,0 +1,164 @@
+"""Combined per-wave stage: fetch + span-parse + link-extract in ONE pass.
+
+One map_batches execution per wave does all the per-page work; the driver
+then runs only cheap column-select passes over the materialized result
+(no body column leaves the stage). This keeps task-scheduling overhead
+constant per wave instead of 5 executions x many blocks — the fix for the
+anti-scaling observed at high num_cpus (see BASELINE.md bench notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .config import CrawlConfig
+from .fetch import FetchStage
+from .parse import SpanParser, links_of, parse_html_spans
+from .schemas import SPAN_STRUCT
+from .synth import SynthWebConfig
+
+LINK_STRUCT = pa.struct(
+    [
+        pa.field("url", pa.string()),
+        pa.field("pos", pa.int32()),
+        pa.field("url_hash", pa.uint64()),
+        pa.field("host", pa.string()),
+        pa.field("kind", pa.string()),
+    ]
+)
+
+_STAGE_CACHE: dict = {}
+
+
+class WaveStage:
+    """frontier-wave batch → one row per page with log fields + links.
+
+    All per-page work happens here in ONE Ray execution per wave: fetch,
+    span parse, link extraction, AND the documents parquet write — each
+    batch writes its span docs straight to ``docs_dir`` under a
+    deterministic name (part-{first crawl_seq}.parquet), so a re-run of the
+    same wave overwrites identical files (idempotent resume). The returned
+    table carries only the small columns: log fields + links + has_doc —
+    bodies and spans never leave the stage.
+    """
+
+    def __init__(self, web_cfg: SynthWebConfig, cfg: CrawlConfig,
+                 docs_dir: str | None = None, log_dir: str | None = None):
+        self.fetcher = FetchStage(web_cfg, cfg)
+        self.parser = SpanParser(cfg.min_pdf_bytes, cfg.pdf_magic)
+        self.docs_dir = docs_dir
+        self.log_dir = log_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .frontier import hosts_and_kinds
+        from .urlnorm import url_hash64
+
+        fetched = self.fetcher(batch)
+        urls = fetched.column("url").to_pylist()
+        kinds = fetched.column("kind").to_pylist()
+        bodies = fetched.column("body").to_pylist()
+        statuses = fetched.column("status").to_numpy(zero_copy_only=False)
+        spans_col: list[list[dict] | None] = []
+        # flat child-link arrays + per-row offsets → ListArray (so the
+        # hash/host/kind computation is one vectorized pass per batch, not
+        # per link — this work would otherwise be serial on the driver)
+        flat_url: list[str] = []
+        flat_pos: list[int] = []
+        offsets: list[int] = [0]
+        for url, kind, body, status in zip(urls, kinds, bodies, statuses):
+            if status != 200 or body is None:
+                spans_col.append(None)
+                offsets.append(len(flat_url))
+                continue
+            spans = self.parser.spans_for_row(url, kind, body)
+            spans_col.append(spans)
+            if kind == "listing" and spans is not None:
+                for i, (u, _t) in enumerate(links_of(spans)):
+                    flat_url.append(u)
+                    flat_pos.append(i)
+            offsets.append(len(flat_url))
+        spans_arr = pa.array(spans_col, type=pa.list_(SPAN_STRUCT))
+        has_doc = pa.compute.is_valid(spans_arr)
+        if self.docs_dir is not None:
+            self._write_docs(fetched, spans_arr, has_doc)
+
+        hashes = url_hash64(flat_url)
+        hosts, link_kinds = hosts_and_kinds(flat_url) if flat_url else ([], [])
+        link_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(flat_url, type=pa.string()),
+                pa.array(np.asarray(flat_pos, dtype=np.int32)),
+                pa.array(hashes, type=pa.uint64()),
+                pa.array(hosts, type=pa.string()),
+                pa.array(link_kinds, type=pa.string()),
+            ],
+            fields=list(LINK_STRUCT),
+        )
+        links_arr = pa.ListArray.from_arrays(
+            pa.array(np.asarray(offsets, dtype=np.int32)), link_struct
+        )
+        out = fetched.drop_columns(["body"])
+        if self.log_dir is not None:
+            # crawl-log shard written here too (same idempotent naming);
+            # the driver then only collects the slim control columns
+            self._write_shard(self.log_dir, out, fetched)
+            out = out.select(["crawl_seq", "depth", "status"])
+        return out.append_column("has_doc", has_doc).append_column(
+            "links", links_arr
+        )
+
+    def _write_docs(self, fetched: pa.Table, spans_arr, has_doc) -> None:
+        import pyarrow.parquet as pq
+
+        docs = pa.Table.from_arrays(
+            [fetched.column("url"), spans_arr], names=["doc_id", "spans"]
+        ).filter(has_doc)
+        if docs.num_rows == 0:
+            return
+        seq0 = int(fetched.column("crawl_seq")[0].as_py())
+        pq.write_table(docs, f"{self.docs_dir}/part-{seq0:012d}.parquet")
+
+    def _write_shard(self, log_dir: str, out: pa.Table, fetched: pa.Table) -> None:
+        import pyarrow.parquet as pq
+
+        seq0 = int(fetched.column("crawl_seq")[0].as_py())
+        pq.write_table(out, f"{log_dir}/part-{seq0:012d}.parquet")
+
+
+def wave_stage_batch(batch: pa.Table, *, web_cfg, cfg, docs_dir=None,
+                     log_dir=None) -> pa.Table:
+    """Stateless-task wrapper with per-worker stage cache."""
+    key = (web_cfg, cfg, docs_dir, log_dir)
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE[key] = WaveStage(web_cfg, cfg, docs_dir, log_dir)
+    return st(batch)
+
+
+def explode_links(table: pa.Table) -> pa.Table:
+    """Collected (crawl_seq, depth, links) columns → candidate rows
+    (url, title, depth, parent_rank, link_pos). Fully vectorized with Arrow
+    list kernels (list_parent_indices + flatten) — no Python loop."""
+    import pyarrow.compute as pc
+
+    links = table.column("links")
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    parent_idx = pc.list_parent_indices(links)
+    flat = pc.list_flatten(links)
+    ranks = pc.take(table.column("crawl_seq"), parent_idx)
+    depths = pc.add(pc.take(table.column("depth"), parent_idx), 1).cast(pa.int32())
+    return pa.Table.from_arrays(
+        [
+            pc.struct_field(flat, "url"),
+            ranks.cast(pa.int64()),
+            pc.struct_field(flat, "pos").cast(pa.int32()),
+            depths,
+            pc.struct_field(flat, "url_hash"),
+            pc.struct_field(flat, "host"),
+            pc.struct_field(flat, "kind"),
+        ],
+        names=["url", "parent_rank", "link_pos", "depth",
+               "url_hash", "host", "kind"],
+    )

@@ -125,3 +125,32 @@ def test_resume_equals_uninterrupted(tmp_path, oracle_result):
     assert log.column("url").to_pylist() == oracle_result.crawl_order
     seen_engine = set(int(h) for h in CrawlCheckpoint(out).load_seen_upto(res.waves + 1))
     assert seen_engine == oracle_result.seen
+
+
+def test_robots_enforced_end_to_end(tmp_path, oracle_result):
+    """Some corpus URLs are robots-blocked: they never appear in crawl
+    order or the seen set, and Crawl-delay hosts get stretched schedules —
+    identically in oracle and engine (engine parity is test_crawl_order /
+    test_seen_set above since respect_robots defaults on)."""
+    from dataclasses import replace
+
+    from bgdss_ray.robots import RobotsIndex
+    from bgdss_ray.synth import SynthWeb
+    from urllib.parse import urlsplit
+
+    w = SynthWeb(WEB)
+    cfg_off = CrawlConfig(max_depth=3, respect_robots=False)
+    o_off = crawl_oracle(w, w.seeds(), cfg_off)
+    o_on = oracle_result  # respect_robots=True via CFG default
+    assert len(o_on.crawl_order) < len(o_off.crawl_order), \
+        "robots must actually block some URLs in this corpus"
+    robots = RobotsIndex(w.robots_body)
+    for url in o_on.crawl_order:
+        s = urlsplit(url)
+        assert robots.allowed(s.hostname, s.path)
+    blocked = set(o_off.crawl_order) - set(o_on.crawl_order)
+    assert all(
+        not robots.allowed(urlsplit(u).hostname, urlsplit(u).path)
+        or u not in o_on.seen
+        for u in blocked
+    )
