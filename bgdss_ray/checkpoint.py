@@ -72,15 +72,22 @@ class CrawlCheckpoint:
         wave: int,
         next_rank: int,
         pages_fetched: int,
-        host_state: dict[str, HostState],
+        scheduler,
     ) -> None:
+        """``scheduler`` is a ShardedPoliteness (dump_state) or a plain
+        host-state dict (legacy)."""
+        state = (
+            scheduler.dump_state()
+            if hasattr(scheduler, "dump_state")
+            else host_state_to_json(scheduler)
+        )
         atomic_write_json(
             self.manifest_path,
             {
                 "completed_wave": wave,
                 "next_rank": next_rank,
                 "pages_fetched": pages_fetched,
-                "host_state": host_state_to_json(host_state),
+                "host_state": state,
             },
         )
 

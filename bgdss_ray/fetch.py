@@ -22,6 +22,22 @@ from .config import CrawlConfig, DEFAULT_CRAWL
 from .synth import SynthWeb, SynthWebConfig
 
 
+def probe_site(web, host: str) -> dict:
+    """Pre-flight site health probe (reference: GET base_url + status +
+    latency, portal_saude_mg.py:730-747). Returns per-host health fields
+    for the politeness state; latency is virtual (deterministic)."""
+    url = f"https://{host}/resolucoes?by_month=1&by_year=2023&ordering=newest&page=1"
+    from .urlnorm import canonicalize
+
+    status, body = web.fetch(canonicalize(url), attempt=1)
+    return {
+        "host": host,
+        "status": status,
+        "healthy": status == 200,
+        "content_len": len(body),
+    }
+
+
 # Per-worker-process stage cache: gives the "state built once per worker"
 # property without paying actor-pool startup on every wave. Keyed by the
 # frozen configs (hashable dataclasses). Used by the stateless-task fetch

@@ -159,7 +159,7 @@ def robots_allowed_mask(urls: pd.Series, hosts: pd.Series, robots) -> np.ndarray
 def admit_wave(
     candidates: pa.Table,
     seen: ShardedSeenSet,
-    host_state: dict[str, HostState],
+    scheduler,
     next_rank: int,
     budget_left: int,
     web: SynthWeb,
@@ -237,7 +237,9 @@ def admit_wave(
             d = robots.crawl_delay(h)
             if d is not None:
                 delays[h] = d
-    vtimes = assign_vtimes(hosts, kinds, host_state, cfg.politeness, delays)
+    # sharded politeness scheduler: per-host folds run in parallel
+    # (actor shards on a cluster); identical to the sequential fold
+    vtimes = scheduler.assign(hosts, kinds, delays)
     if "host" in admitted.schema.names:
         host_col = admitted.column("host")  # reuse arrow column, no rebuild
     else:

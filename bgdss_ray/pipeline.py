@@ -45,7 +45,7 @@ from .frontier import (
 )
 from .parse import extract_links_batch, parse_spans_batch
 from .wavestage import WaveStage, explode_links, wave_stage_batch
-from .politeness import HostState
+from .politeness import HostState, ShardedPoliteness
 from .seen import ShardedSeenSet
 from .synth import SynthWeb, SynthWebConfig
 
@@ -96,6 +96,7 @@ def crawl(
     use_seen_actors: bool = False,
     resume: bool = False,
     fetch_concurrency: int | None = None,
+    use_politeness_actors: bool = False,
 ) -> CrawlRunResult:
     """Run (or resume) the crawl to frontier exhaustion or cfg.max_pages."""
     from .robots import RobotsIndex
@@ -107,7 +108,9 @@ def crawl(
     seen = ShardedSeenSet(
         n_shards=cfg.seen_shards, mode=seen_mode, use_actors=use_seen_actors
     )
-    host_state: dict[str, HostState] = {}
+    sched = ShardedPoliteness(
+        cfg.politeness, n_shards=cfg.seen_shards, use_actors=use_politeness_actors
+    )
     next_rank = 0
     pages_fetched = 0
     docs_emitted = 0
@@ -119,7 +122,7 @@ def crawl(
         wave_no = manifest["completed_wave"] + 1
         next_rank = manifest["next_rank"]
         pages_fetched = manifest["pages_fetched"]
-        host_state = host_state_from_json(manifest["host_state"])
+        sched.load_state(manifest["host_state"])
         seen_hashes = ckpt.load_seen_upto(manifest["completed_wave"])
         if len(seen_hashes):
             seen.check_and_add(seen_hashes)
@@ -127,7 +130,7 @@ def crawl(
         if candidates is None or candidates.num_rows == 0:
             return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
         wave, new_hashes = _admit_precomputed(
-            candidates, seen, host_state, next_rank, cfg, web,
+            candidates, seen, sched, next_rank, cfg, web,
             budget_left=cfg.max_pages - pages_fetched, robots=robots,
         )
     else:
@@ -135,7 +138,7 @@ def crawl(
         seed_rows = seeds if seeds is not None else web.seeds()
         cand = dedup_candidates(seeds_to_candidates(seed_rows))
         wave, new_hashes = admit_wave(
-            cand, seen, host_state, next_rank,
+            cand, seen, sched, next_rank,
             cfg.max_pages - pages_fetched, web, cfg, robots=robots,
         )
 
@@ -218,7 +221,7 @@ def crawl(
             n_dup=(cand.num_rows if cand is not None else 0),
             wall=wall,
         )
-        ckpt.commit_wave(wave_no, next_rank, pages_fetched, host_state)
+        ckpt.commit_wave(wave_no, next_rank, pages_fetched, sched)
         wave_no += 1
 
         budget_left = cfg.max_pages - pages_fetched
@@ -226,7 +229,7 @@ def crawl(
             break
         t_adm0 = time.perf_counter()
         wave, new_hashes = _admit_precomputed(
-            cand, seen, host_state, next_rank, cfg, web, budget_left,
+            cand, seen, sched, next_rank, cfg, web, budget_left,
             robots=robots,
         )
         if profile:
@@ -236,12 +239,12 @@ def crawl(
     return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
 
 
-def _admit_precomputed(candidates, seen, host_state, next_rank, cfg, web,
+def _admit_precomputed(candidates, seen, sched, next_rank, cfg, web,
                        budget_left: int | None = None, robots=None):
     if budget_left is None:
         budget_left = cfg.max_pages
     return admit_wave(
-        candidates, seen, host_state, next_rank, budget_left, web, cfg,
+        candidates, seen, sched, next_rank, budget_left, web, cfg,
         robots=robots,
     )
 

@@ -63,6 +63,130 @@ def next_vtime(
     return t
 
 
+class _PolitenessShardCore:
+    """Budget owner for the hosts mapped to one shard (north rule: one
+    politeness shard owns each host's budget). Holds HostState dict;
+    assigns vtimes for its subsequence of an (ordered) wave."""
+
+    def __init__(self, cfg: PolitenessConfig):
+        self.cfg = cfg
+        self.state: dict[str, HostState] = {}
+
+    def assign(self, hosts: list[str], kinds: list[str],
+               delays: dict[str, float] | None) -> list[float]:
+        return assign_vtimes(hosts, kinds, self.state, self.cfg, delays)
+
+    def dump_state(self) -> dict:
+        from .checkpoint import host_state_to_json
+
+        return host_state_to_json(self.state)
+
+    def load_state(self, obj: dict) -> None:
+        from .checkpoint import host_state_from_json
+
+        self.state.update(host_state_from_json(obj))
+
+
+def make_politeness_shards(n_shards: int, cfg: PolitenessConfig):
+    """Actor-backed shard pool (the cluster path)."""
+    import ray
+
+    actor = ray.remote(_PolitenessShardCore)
+    return [actor.remote(cfg) for _ in range(n_shards)]
+
+
+class ShardedPoliteness:
+    """K-sharded politeness scheduler: hosts are partitioned by stable
+    host-hash; each shard folds its hosts' ordered request subsequence in
+    parallel. Per-host results are identical to the sequential fold (host
+    subsequences are independent) — parity is tested.
+
+    ``use_actors=False`` keeps shards in-process (tests / small runs).
+    """
+
+    def __init__(self, cfg: PolitenessConfig, n_shards: int = 8,
+                 use_actors: bool = False):
+        self.cfg = cfg
+        self.n = n_shards
+        self.use_actors = use_actors
+        if use_actors:
+            self.shards = make_politeness_shards(n_shards, cfg)
+        else:
+            self.shards = [_PolitenessShardCore(cfg) for _ in range(n_shards)]
+
+    @staticmethod
+    def shard_of_host(host: str, n: int) -> int:
+        from .urlnorm import hash64_one
+
+        return int(hash64_one(host) % n)
+
+    def assign(self, hosts: list[str], kinds: list[str],
+               delays: dict[str, float] | None = None) -> list[float]:
+        import numpy as np
+
+        n_rows = len(hosts)
+        if n_rows == 0:
+            return []
+        import pandas as pd
+
+        codes, uniques = pd.factorize(pd.Series(hosts), sort=False)
+        shard_of_unique = np.asarray(
+            [self.shard_of_host(h, self.n) for h in uniques], dtype=np.int64
+        )
+        row_shard = shard_of_unique[codes]
+        out = np.zeros(n_rows, dtype=np.float64)
+        calls = []
+        idxs = []
+        for s in range(self.n):
+            idx = np.nonzero(row_shard == s)[0]
+            if not len(idx):
+                continue
+            sub_hosts = [hosts[i] for i in idx]
+            sub_kinds = [kinds[i] for i in idx]
+            if self.use_actors:
+                calls.append(self.shards[s].assign.remote(sub_hosts, sub_kinds, delays))
+            else:
+                calls.append(self.shards[s].assign(sub_hosts, sub_kinds, delays))
+            idxs.append(idx)
+        if self.use_actors:
+            import ray
+
+            results = ray.get(calls)
+        else:
+            results = calls
+        for idx, vt in zip(idxs, results):
+            out[idx] = vt
+        return out.tolist()
+
+    def dump_state(self) -> dict:
+        if self.use_actors:
+            import ray
+
+            parts = ray.get([s.dump_state.remote() for s in self.shards])
+        else:
+            parts = [s.dump_state() for s in self.shards]
+        merged: dict = {}
+        for p in parts:
+            merged.update(p)
+        return merged
+
+    def load_state(self, obj: dict) -> None:
+        by_shard: list[dict] = [{} for _ in range(self.n)]
+        for host, st in obj.items():
+            by_shard[self.shard_of_host(host, self.n)][host] = st
+        if self.use_actors:
+            import ray
+
+            ray.get([
+                s.load_state.remote(part)
+                for s, part in zip(self.shards, by_shard) if part
+            ])
+        else:
+            for s, part in zip(self.shards, by_shard):
+                if part:
+                    s.load_state(part)
+
+
 def assign_vtimes(
     hosts: list[str],
     kinds: list[str],

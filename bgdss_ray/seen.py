@@ -63,6 +63,14 @@ class CuckooFilter:
         return h in self.spill
 
     def add(self, h: int) -> None:
+        """Two-choice insert; both buckets full → exact spill set.
+
+        No eviction chains: a kick chain that fails would have to undo
+        every displacement or it silently drops a victim fingerprint (a
+        false negative — fatal for a seen set). Two-choice + exact spill
+        keeps "never forgets a key" trivially true; the spill stays small
+        below ~80% load and is part of size/memory accounting.
+        """
         hu = np.uint64(h)
         fp = self._fp(hu)
         i1 = self._i1(hu)
@@ -74,22 +82,7 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return
-        # evict loop
-        rng = (int(hu) >> 17) | 1
-        i = i1
-        for kick in range(self.MAX_KICKS):
-            slot = (rng + kick) % self.table.shape[1]
-            victim = int(self.table[i, slot])
-            self.table[i, slot] = fp
-            fp = victim
-            i = self._i2(i, fp)
-            row = self.table[i]
-            empty = np.nonzero(row == 0)[0]
-            if len(empty):
-                row[empty[0]] = fp
-                self.count += 1
-                return
-        self.spill.add(h)  # table saturated: exact spill
+        self.spill.add(h)  # both buckets full: exact spill
 
 
 class _ShardCore:

@@ -154,3 +154,30 @@ def test_robots_enforced_end_to_end(tmp_path, oracle_result):
         or u not in o_on.seen
         for u in blocked
     )
+
+
+def test_cuckoo_seen_mode_matches_exact(tmp_path, oracle_result):
+    """The approximate seen-set path (cuckoo shards) produces the same
+    crawl as the exact path on this corpus (insert-only usage, adequate
+    capacity — SURVEY.md §7.5 item 2)."""
+    out = str(tmp_path / "cuckoo")
+    crawl(WEB, out, CFG, seen_mode="cuckoo")
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+
+
+def test_seen_actor_mode_matches(tmp_path, oracle_result):
+    out = str(tmp_path / "actors")
+    crawl(WEB, out, CFG, use_seen_actors=True)
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+
+
+def test_site_probe():
+    from bgdss_ray.fetch import probe_site
+    from bgdss_ray.synth import SynthWeb
+
+    w = SynthWeb(WEB)
+    probes = [probe_site(w, h) for h in w.hosts]
+    assert any(p["healthy"] for p in probes)
+    assert all(set(p) == {"host", "status", "healthy", "content_len"} for p in probes)
