@@ -110,12 +110,37 @@ class MinHasher:
         prod %= np.uint64(_MERSENNE)
         return prod.min(axis=1)
 
+    def signatures_batch(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
+        """Vectorized minhash for a whole batch: concatenate all docs'
+        shingles, apply each permutation to the flat array once, and take
+        per-doc minima with ``np.minimum.reduceat`` — no per-doc python.
+        Permutations are chunked to bound the (chunk x total_shingles)
+        temporary."""
+        lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64,
+                           count=len(shingle_sets))
+        empty = lens == 0
+        safe = [s if len(s) else np.zeros(1, dtype=np.uint64) for s in shingle_sets]
+        flat = np.concatenate(safe)
+        lens_safe = np.maximum(lens, 1)
+        offsets = np.zeros(len(safe), dtype=np.int64)
+        np.cumsum(lens_safe[:-1], out=offsets[1:])
+        out = np.empty((len(safe), self.n_perm), dtype=np.uint64)
+        chunk = 16
+        with np.errstate(over="ignore"):
+            for c0 in range(0, self.n_perm, chunk):
+                a = self.a[c0 : c0 + chunk, None]
+                b = self.b[c0 : c0 + chunk, None]
+                vals = (a * flat[None, :] + b) % np.uint64(_MERSENNE)
+                for j in range(vals.shape[0]):
+                    out[:, c0 + j] = np.minimum.reduceat(vals[j], offsets)
+        out[empty] = 0  # empty docs: zero signature (matches signature())
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """map_batches: (id, text) → (id, sig: fixed_size_list<uint64>)."""
         texts = batch.column("text").to_pylist()
-        sigs = np.stack(
-            [self.signature(shingle_hashes(t, self.shingle_k)) for t in texts]
-        )
+        sets = [shingle_hashes(t, self.shingle_k) for t in texts]
+        sigs = self.signatures_batch(sets)
         ids = batch.column(batch.schema.names[0])
         return pa.Table.from_arrays(
             [ids, pa.array(list(sigs), type=pa.list_(pa.uint64(), self.n_perm))],

@@ -125,26 +125,44 @@ class QualityScorer:
         return out
 
 
+def _rolling_hash64(s: str, k: int) -> np.ndarray:
+    """Vectorized polynomial rolling hash of all char k-grams (uint64
+    wraparound arithmetic — the classic Rabin-Karp shape, numpy-wide)."""
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    base = np.uint64(1099511628211)  # FNV prime as the polynomial base
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = 1
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * base
+        n = len(codes) - k + 1
+        # windowed dot product mod 2^64: sum_j codes[i+j] * base^(k-1-j)
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(k):  # k (=8) vector passes, no per-gram python
+            out += codes[j : j + n] * powers[k - 1 - j]
+    return out
+
+
 def fingerprint_winnow(text: str, k: int = 8, window: int = 4) -> list[int]:
-    """Winnowing fingerprints: char k-gram rolling hashes, min per window,
-    deduped consecutive picks. Deterministic document signature."""
+    """Winnowing fingerprints (Schleimer et al.): char k-gram rolling
+    hashes, rightmost-min per window, deduped consecutive picks. Fully
+    vectorized: k vector passes for the rolling hash + one sliding-window
+    argmin pass."""
     s = re.sub(r"\s+", " ", text.lower()).strip()
+    if not s:
+        return []
     if len(s) < k:
-        return [int(url_hash64([s])[0])] if s else []
-    grams = [s[i : i + k] for i in range(len(s) - k + 1)]
-    hs = url_hash64(grams)
+        return [int(_rolling_hash64(s.ljust(k, "\0"), k)[0])]
+    hs = _rolling_hash64(s, k)
     if len(hs) <= window:
         return [int(hs.min())]
-    out: list[int] = []
-    last_pos = -1
-    for i in range(len(hs) - window + 1):
-        w = hs[i : i + window]
-        # rightmost minimum for robust winnowing
-        pos = i + (window - 1 - int(np.argmin(w[::-1])))
-        if pos != last_pos:
-            out.append(int(hs[pos]))
-            last_pos = pos
-    return out
+    # rightmost minimum per window, vectorized: reverse, windowed argmin
+    sw = np.lib.stride_tricks.sliding_window_view(hs[::-1], window)
+    rev_arg = sw.argmin(axis=1)[::-1]
+    pos = np.arange(len(hs) - window + 1) + (window - 1 - rev_arg)
+    keep = np.ones(len(pos), dtype=bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    return hs[pos[keep]].tolist()
 
 
 class Fingerprinter:

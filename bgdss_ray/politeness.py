@@ -91,7 +91,9 @@ def make_politeness_shards(n_shards: int, cfg: PolitenessConfig):
     """Actor-backed shard pool (the cluster path)."""
     import ray
 
-    actor = ray.remote(_PolitenessShardCore)
+    # num_cpus=0: budget shards are lightweight state holders; they must
+    # not reserve CPUs away from fetch/parse tasks
+    actor = ray.remote(num_cpus=0)(_PolitenessShardCore)
     return [actor.remote(cfg) for _ in range(n_shards)]
 
 

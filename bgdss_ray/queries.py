@@ -49,27 +49,46 @@ def consolidation_sums(sf_dir: str):
 
     cutoff = pa.scalar(np.datetime64("1999-01-01", "us"))
 
-    def prep(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        """Pre-aggregate inside the batch (guide: combine before the
+        shuffle) — each batch emits ONE row per (flag, status) group, so
+        the groupby that follows shuffles ~blocks x 6 rows, not 600k."""
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        qty = t["l_quantity"].cast(pa.int64())
-        base = _cents(t["l_extendedprice"])
-        disc = _cents(pc.multiply(t["l_extendedprice"],
-                                  pc.subtract(1.0, t["l_discount"])))
-        return pa.Table.from_arrays(
-            [t["l_returnflag"], t["l_linestatus"], qty,
-             pa.chunked_array([base]) if isinstance(base, pa.Array) else base,
-             pa.chunked_array([disc]) if isinstance(disc, pa.Array) else disc],
-            names=["l_returnflag", "l_linestatus", "qty", "base_cents", "disc_cents"],
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"].cast(pa.int64()),
+                "base_cents": _cents(t["l_extendedprice"]),
+                "disc_cents": _cents(
+                    pc.multiply(t["l_extendedprice"],
+                                pc.subtract(1.0, t["l_discount"]))
+                ),
+            }
+        )
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"),
+             ("qty", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["qty_sum"],
+                "sum_base_cents": g["base_cents_sum"],
+                "sum_disc_cents": g["disc_cents_sum"],
+                "count_order": g["qty_count"],
+            }
         )
 
     out = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
     return out
@@ -77,9 +96,9 @@ def consolidation_sums(sf_dir: str):
 
 CONSOLIDATION_SUMS_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-01-01'
@@ -108,7 +127,7 @@ def run_summary(sf_dir: str):
 
 RUN_SUMMARY_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -141,7 +160,7 @@ def broadcast_join_segment(sf_dir: str):
 BROADCAST_JOIN_SEGMENT_SQL = """
 SELECT COALESCE(c.c_mktsegment, 'NÃO INFORMADO') AS c_mktsegment,
        COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """
@@ -267,7 +286,7 @@ def source_summary(sf_dir: str):
 
 
 SOURCE_SUMMARY_SQL = """
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(SUM(n_chars)*1.0/COUNT(*), 4) AS avg_chars
 FROM documents GROUP BY source
 """
@@ -294,7 +313,7 @@ def events_hourly(sf_dir: str):
 
 EVENTS_HOURLY_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 

@@ -129,7 +129,9 @@ class _ShardCore:
         return np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
 
 
-SeenShardActor = ray.remote(_ShardCore)
+# num_cpus=0: shard actors are tiny index holders that must never reserve
+# CPUs away from map tasks (a full-reservation pool deadlocks small nodes)
+SeenShardActor = ray.remote(num_cpus=0)(_ShardCore)
 
 
 class ShardedSeenSet:

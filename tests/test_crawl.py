@@ -181,3 +181,15 @@ def test_site_probe():
     probes = [probe_site(w, h) for h in w.hosts]
     assert any(p["healthy"] for p in probes)
     assert all(set(p) == {"host", "status", "healthy", "content_len"} for p in probes)
+
+
+def test_politeness_actor_shards_match(tmp_path, oracle_result):
+    """Actor-backed politeness shards produce identical vtimes/order."""
+    out = str(tmp_path / "pol_actors")
+    crawl(WEB, out, CFG, use_politeness_actors=True)
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+    eng = np.asarray(log.column("vtime").to_pylist())
+    att = np.asarray(log.column("attempts").to_pylist())
+    backoff = np.array([sum(2.0 * k for k in range(1, a)) for a in att])
+    assert np.allclose(eng - backoff, np.asarray(oracle_result.vtimes))

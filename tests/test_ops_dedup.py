@@ -123,3 +123,14 @@ def test_minhash_on_testdata_merges_are_genuine(ray_session):
         )
         # transitive merges may dip slightly below the pairwise threshold
         assert j >= 0.5, f"false merge {r['doc_id']}->{r['cluster']} (j={j})"
+
+
+def test_minhash_batch_equals_per_doc():
+    from bgdss_ray.ops.dedup import MinHasher
+
+    mh = MinHasher()
+    texts = [BASE, BASE.replace("lazy", "x"), "", "one two three four five"]
+    sets = [shingle_hashes(t) for t in texts]
+    batch = mh.signatures_batch(sets)
+    for i, s in enumerate(sets):
+        assert np.array_equal(batch[i], mh.signature(s)), i
