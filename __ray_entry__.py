@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_ngram_jaccard": P.dedup_ngram_jaccard_pipeline,
             "dedup_embedding": P.dedup_embedding_pipeline,
             "ann_lsh": P.ann_lsh_pipeline,
+            "ann_ivf": P.ann_ivf_pipeline,
+            "crawl_priority_log": P.crawl_priority_pipeline,
             "lang_quality": P.lang_quality_pipeline,
             "fingerprints": P.fingerprint_pipeline,
             "multimodal_decode": P.multimodal_pipeline,

@@ -165,6 +165,62 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-flat approximate top-k: coarse quantizer = seeded random unit
+    directions (no training pass needed, deterministic); vectors are
+    assigned to their nearest centroid in one broadcast map pass; queries
+    probe the ``n_probe`` nearest centroids and exact-rerank those lists.
+
+    The scale path: the assignment map is the only full pass; per-query
+    work touches ~n * n_probe / n_centroids rows.
+    """
+    d = query_mat.shape[1]
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_centroids, d))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(vec_col))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        cid = (mn @ cents.T).argmax(axis=1).astype(np.int32)
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(cid), batch.column(vec_col)],
+            names=[id_col, "centroid", vec_col],
+        )
+
+    df = ds.map_batches(assign, batch_format="pyarrow", batch_size=8192).to_pandas()
+    by_cent = {c: g for c, g in df.groupby("centroid")}
+    qn = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True).clip(min=1e-12)
+    qprobe = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+
+    out = []
+    for qi, qid in enumerate(query_ids):
+        cands = [by_cent[c] for c in qprobe[qi] if c in by_cent]
+        if not cands:
+            continue
+        cand = pd.concat(cands)
+        m = np.asarray(cand[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1).clip(min=1e-12)
+        score = (m / norms[:, None]) @ qn[qi]
+        g = pd.DataFrame({"query_id": qid, "id": cand[id_col].to_numpy(), "score": score})
+        g = g.sort_values(["score", "id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pd.concat(out).reset_index(drop=True) if out else pd.DataFrame(
+        columns=["query_id", "id", "score", "rank"]
+    )
+
+
 def recall_at_k(approx: pd.DataFrame, exact: pd.DataFrame, k: int) -> float:
     """Fraction of exact top-k retrieved by the approximate search."""
     hits, total = 0, 0

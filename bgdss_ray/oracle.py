@@ -34,6 +34,105 @@ class OracleResult:
     errors: list[tuple[str, int]] = field(default_factory=list)  # (url, status)
 
 
+def crawl_oracle_priority(
+    web: SynthWeb,
+    seeds: list[dict],
+    cfg: CrawlConfig = DEFAULT_CRAWL,
+    wave_cap: int = 50_000,
+    per_host_cap: int = 30,
+) -> OracleResult:
+    """Sequential oracle for the priority-frontier mode (wave-synchronous
+    spec, see pipeline.crawl_priority): backlog scored by recency minus
+    depth, each wave fetches the top-priority entries under a per-host cap,
+    children enter the backlog at wave boundaries."""
+    from urllib.parse import urlsplit
+
+    from .priority import priority_score_one
+    from .robots import RobotsIndex
+
+    res = OracleResult()
+    host_state: dict[str, HostState] = {}
+    robots = RobotsIndex(web.robots_body) if cfg.respect_robots else None
+    backlog: list[tuple[float, int, str, int]] = []  # (priority, okey, url, depth)
+
+    def blocked(url: str) -> bool:
+        if robots is None:
+            return False
+        s = urlsplit(url)
+        return not robots.allowed(s.hostname or "", s.path)
+
+    def insert(url: str, depth: int, okey: int) -> None:
+        if depth > cfg.max_depth or blocked(url):
+            return
+        h = hash64_one(url)
+        if h in res.seen:
+            return
+        res.seen.add(h)
+        backlog.append((priority_score_one(url, depth), okey, url, depth))
+
+    for s in seeds:
+        canon = canonicalize(s["url"])
+        # okey encoding identical to frontier.order_key(parent_rank=-1, seq)
+        insert(canon, 0, s["seq"] - (1 << 32))
+
+    while backlog and len(res.crawl_order) < cfg.max_pages:
+        backlog.sort(key=lambda r: (-r[0], r[1]))
+        cap = min(wave_cap, cfg.max_pages - len(res.crawl_order))
+        host_counts: dict[str, int] = {}
+        selected, remaining = [], []
+        for row in backlog:
+            host = host_of(row[2])
+            if len(selected) < cap and host_counts.get(host, 0) < per_host_cap:
+                host_counts[host] = host_counts.get(host, 0) + 1
+                selected.append(row)
+            else:
+                remaining.append(row)
+        backlog = remaining
+        if not selected:
+            break
+        children: list[tuple[int, str, int]] = []  # (okey, url, child_depth)
+        for rank_off, (_prio, _okey, url, depth) in enumerate(selected):
+            rank = len(res.crawl_order)
+            kind = web.classify(url)
+            host = host_of(url)
+            delays = None
+            if robots is not None and robots.crawl_delay(host) is not None:
+                delays = {host: robots.crawl_delay(host)}
+            vt = assign_vtimes([host], [kind], host_state, cfg.politeness, delays)[0]
+            status, body, attempt = 0, b"", 0
+            for attempt in range(1, cfg.retry.max_attempts + 1):
+                status, body = web.fetch(url, attempt)
+                if status in (200, 404):
+                    break
+            res.crawl_order.append(url)
+            res.statuses.append(status)
+            res.attempts.append(attempt)
+            res.vtimes.append(vt)
+            if status != 200:
+                res.errors.append((url, status))
+                continue
+            if kind == "listing":
+                spans = parse_html_spans(body.decode("utf-8"), url)
+                res.documents.append((url, spans))
+                for pos, (child, _t) in enumerate(links_of(spans)):
+                    children.append(((rank << 32) | pos, child, depth + 1))
+            elif kind == "pdf":
+                if len(body) >= cfg.min_pdf_bytes and body.startswith(cfg.pdf_magic):
+                    text = body[len(b"%PDF-1.4\n"):].decode("utf-8")
+                    res.documents.append((url, parse_pdf_spans(text)))
+                else:
+                    res.errors.append((url, -1))
+        # wave boundary: dedup children first-wins by okey, then insert
+        children.sort(key=lambda c: c[0])
+        seen_in_wave: set[str] = set()
+        for okey, child, cdepth in children:
+            if child in seen_in_wave:
+                continue
+            seen_in_wave.add(child)
+            insert(child, cdepth, okey)
+    return res
+
+
 def crawl_oracle(
     web: SynthWeb,
     seeds: list[dict],

@@ -148,64 +148,10 @@ def crawl(
         wt0 = time.perf_counter()
         n_wave = wave.num_rows
         next_rank += n_wave
-        _t = time.perf_counter
 
-        # --- ONE heavy pass over the wave: fetch + parse + link-extract.
-        # Everything per-page happens inside WaveStage; only cheap
-        # column-select passes follow (bodies never leave the stage).
-        # Block count is bounded so scheduling overhead stays constant.
-        # Blocks = zero-copy slices of the wave table (no repartition
-        # execution); >=2048 rows per block keeps per-task overhead <5%.
-        wave = wave.combine_chunks()
-        n_blocks = max(1, min(concurrency * 2, -(-n_wave // 2048)))
-        step = -(-n_wave // n_blocks)
-        slices = [wave.slice(i, step) for i in range(0, n_wave, step)]
-        ds = rd.from_arrow(slices)
-        docs_dir = ckpt.wave_dir("documents", wave_no)
-        log_dir = ckpt.wave_dir("crawl_log", wave_no)
-        t_prep = _t()
-        if n_wave >= ACTOR_POOL_WAVE_THRESHOLD:
-            processed = ds.map_batches(
-                WaveStage,
-                fn_constructor_args=(web_cfg, cfg, docs_dir, log_dir),
-                batch_format="pyarrow",
-                batch_size=None,
-                concurrency=concurrency,
-                num_cpus=1,
-            )
-        else:
-            processed = ds.map_batches(
-                partial(wave_stage_batch, web_cfg=web_cfg, cfg=cfg,
-                        docs_dir=docs_dir, log_dir=log_dir),
-                batch_format="pyarrow",
-                batch_size=None,
-            )
-        # ONE Ray execution per wave: per-page work + docs AND crawl-log
-        # parquet writes happen inside the stage; the driver collects only
-        # the slim control columns + candidate links.
-        log_links = _ds_to_table(processed)
-        t_map = _t()
-        t_docs = _t()
-
-        n_docs = int(pa.compute.sum(log_links.column("has_doc")).as_py() or 0)
-        n_err = int(
-            pa.compute.sum(
-                pa.compute.not_equal(log_links.column("status"), 200)
-            ).as_py() or 0
+        n_docs, n_err, cand = _execute_wave(
+            wave, web_cfg, cfg, concurrency, ckpt, wave_no, profile, wt0
         )
-
-        t_log = _t()
-        links_table = explode_links(log_links)
-        cand = dedup_candidates(links_table) if links_table.num_rows else None
-        t_links = _t()
-        if profile:
-            print(
-                f"[wave {wave_no}] n={n_wave} prep={t_prep - wt0:.2f} "
-                f"map={t_map - t_prep:.2f} "
-                f"docs_write={t_docs - t_map:.2f} log_collect={t_log - t_docs:.2f} "
-                f"links_dedup={t_links - t_log:.2f}",
-                flush=True,
-            )
 
         # --- bookkeeping / checkpoint ---------------------------------
         pages_fetched += n_wave
@@ -239,6 +185,67 @@ def crawl(
     return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
 
 
+def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,
+                  profile=False, wt0=None):
+    """ONE heavy Ray execution over a ranked+scheduled wave: fetch + parse +
+    link-extract + documents/crawl-log parquet writes inside the stage.
+    Bodies and spans never reach the driver; returns (n_docs, n_err,
+    deduped candidate table).
+
+    Blocks are zero-copy slices of the wave table (no repartition
+    execution); >=2048 rows per block keeps per-task overhead <5%.
+    """
+    _t = time.perf_counter
+    if wt0 is None:
+        wt0 = _t()
+    n_wave = wave.num_rows
+    wave = wave.combine_chunks()
+    n_blocks = max(1, min(concurrency * 2, -(-n_wave // 2048)))
+    step = -(-n_wave // n_blocks)
+    slices = [wave.slice(i, step) for i in range(0, n_wave, step)]
+    ds = rd.from_arrow(slices)
+    docs_dir = ckpt.wave_dir("documents", wave_no)
+    log_dir = ckpt.wave_dir("crawl_log", wave_no)
+    t_prep = _t()
+    if n_wave >= ACTOR_POOL_WAVE_THRESHOLD:
+        processed = ds.map_batches(
+            WaveStage,
+            fn_constructor_args=(web_cfg, cfg, docs_dir, log_dir),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        processed = ds.map_batches(
+            partial(wave_stage_batch, web_cfg=web_cfg, cfg=cfg,
+                    docs_dir=docs_dir, log_dir=log_dir),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    log_links = _ds_to_table(processed)
+    t_map = _t()
+
+    n_docs = int(pa.compute.sum(log_links.column("has_doc")).as_py() or 0)
+    n_err = int(
+        pa.compute.sum(
+            pa.compute.not_equal(log_links.column("status"), 200)
+        ).as_py() or 0
+    )
+    t_log = _t()
+    links_table = explode_links(log_links)
+    cand = dedup_candidates(links_table) if links_table.num_rows else None
+    t_links = _t()
+    if profile:
+        print(
+            f"[wave {wave_no}] n={n_wave} prep={t_prep - wt0:.2f} "
+            f"map={t_map - t_prep:.2f} agg={t_log - t_map:.2f} "
+            f"links_dedup={t_links - t_log:.2f}",
+            flush=True,
+        )
+    return n_docs, n_err, cand
+
+
 def _admit_precomputed(candidates, seen, sched, next_rank, cfg, web,
                        budget_left: int | None = None, robots=None):
     if budget_left is None:
@@ -247,6 +254,154 @@ def _admit_precomputed(candidates, seen, sched, next_rank, cfg, web,
         candidates, seen, sched, next_rank, budget_left, web, cfg,
         robots=robots,
     )
+
+
+def crawl_priority(
+    web_cfg: SynthWebConfig,
+    out_dir: str,
+    cfg: CrawlConfig = DEFAULT_CRAWL,
+    seeds: list[dict] | None = None,
+    wave_cap: int = 50_000,
+    per_host_cap: int = 30,
+    fetch_concurrency: int | None = None,
+) -> CrawlRunResult:
+    """Priority-frontier crawl (north-star mode): backlog table scored by
+    recency (year*12+month - depth), each wave admits the top-priority
+    candidates under a per-host cap (hot-host skew control). Wave-
+    synchronous spec; matches oracle.crawl_oracle_priority exactly.
+
+    Unselected candidates REMAIN in the backlog — the frontier is a
+    materialized table checkpointed per wave, not a transient batch.
+    """
+    import pandas as pd
+
+    from .priority import priority_scores, select_wave
+    from .robots import RobotsIndex
+
+    t0 = time.perf_counter()
+    web = SynthWeb(web_cfg)
+    robots = RobotsIndex(web.robots_body) if cfg.respect_robots else None
+    ckpt = CrawlCheckpoint(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    seen = ShardedSeenSet(n_shards=cfg.seen_shards, mode="exact")
+    sched = ShardedPoliteness(cfg.politeness, n_shards=cfg.seen_shards)
+    from .frontier import (
+        _HOST_RE,
+        hosts_and_kinds,
+        order_key,
+        robots_allowed_mask,
+    )
+    from .politeness import assign_vtimes  # noqa: F401 (scheduler used)
+
+    def to_backlog(cand: pa.Table) -> pa.Table:
+        """Deduped candidates → backlog rows (adds okey, priority), dropping
+        too-deep / robots-blocked / already-seen (seen marked at insert)."""
+        if cand is None or cand.num_rows == 0:
+            return None
+        depth = cand.column("depth").to_numpy(zero_copy_only=False)
+        cand = cand.filter(pa.array(depth <= cfg.max_depth))
+        if cand.num_rows == 0:
+            return None
+        urls = cand.column("url").to_pandas()
+        if "host" in cand.schema.names:
+            hosts = cand.column("host").to_pandas()
+        else:
+            h, k = hosts_and_kinds(urls)
+            cand = cand.append_column("host", pa.array(h, type=pa.string()))
+            cand = cand.append_column("kind", pa.array(k, type=pa.string()))
+            hosts = pd.Series(h)
+        if robots is not None:
+            ok = robots_allowed_mask(urls, hosts, robots)
+            if not ok.all():
+                cand = cand.filter(pa.array(ok))
+                if cand.num_rows == 0:
+                    return None
+                urls = cand.column("url").to_pandas()
+        hashes = cand.column("url_hash").to_numpy(zero_copy_only=False)
+        okey = order_key(
+            cand.column("parent_rank").to_numpy(zero_copy_only=False),
+            cand.column("link_pos").to_numpy(zero_copy_only=False),
+        )
+        # seen-marking order: ascending okey (first-occurrence-wins spec)
+        o = np.argsort(okey, kind="stable")
+        new_mask = np.zeros(len(okey), dtype=bool)
+        new_mask[o] = seen.check_and_add(hashes[o])
+        cand = cand.filter(pa.array(new_mask))
+        if cand.num_rows == 0:
+            return None
+        urls = cand.column("url").to_pandas()
+        depth = cand.column("depth").to_numpy(zero_copy_only=False)
+        prio = priority_scores(urls, depth)
+        return cand.append_column(
+            "okey", pa.array(okey[new_mask], type=pa.int64())
+        ).append_column("priority", pa.array(prio, type=pa.float64()))
+
+    seed_rows = seeds if seeds is not None else web.seeds()
+    backlog = to_backlog(dedup_candidates(seeds_to_candidates(seed_rows)))
+    concurrency = fetch_concurrency or cfg.fetch_concurrency
+    profile = bool(os.environ.get("BGDSS_PROFILE"))
+    next_rank = 0
+    pages_fetched = 0
+    docs_emitted = 0
+    wave_no = 0
+
+    while backlog is not None and backlog.num_rows > 0:
+        wt0 = time.perf_counter()
+        budget_left = cfg.max_pages - pages_fetched
+        if budget_left <= 0:
+            break
+        selected, backlog = select_wave(
+            backlog, min(wave_cap, budget_left), per_host_cap
+        )
+        n_wave = selected.num_rows
+        if n_wave == 0:
+            break
+        hosts = selected.column("host").to_pylist()
+        kinds = selected.column("kind").to_pylist()
+        delays = None
+        if robots is not None:
+            delays = {
+                h: robots.crawl_delay(h)
+                for h in set(hosts)
+                if robots.crawl_delay(h) is not None
+            }
+        vtimes = sched.assign(hosts, kinds, delays)
+        wave = pa.Table.from_arrays(
+            [
+                selected.column("url"),
+                selected.column("url_hash").cast(pa.uint64()),
+                selected.column("host"),
+                selected.column("depth").cast(pa.int32()),
+                pa.array(np.arange(next_rank, next_rank + n_wave, dtype=np.int64)),
+                pa.array(np.asarray(vtimes, dtype=np.float64)),
+            ],
+            names=["url", "url_hash", "host", "depth", "crawl_seq", "vtime"],
+        )
+        next_rank += n_wave
+        n_docs, n_err, cand = _execute_wave(
+            wave, web_cfg, cfg, concurrency, ckpt, wave_no, profile, wt0
+        )
+        pages_fetched += n_wave
+        docs_emitted += n_docs
+        incoming = to_backlog(cand)
+        if incoming is not None:
+            backlog = (
+                pa.concat_tables([backlog, incoming]).combine_chunks()
+                if backlog.num_rows
+                else incoming
+            )
+        if backlog.num_rows:
+            ckpt.write_frontier_next(wave_no, backlog)
+        _write_metrics(
+            ckpt, wave_no, n_wave, n_err, n_docs,
+            n_new=(incoming.num_rows if incoming is not None else 0),
+            n_dup=(cand.num_rows if cand is not None else 0),
+            wall=time.perf_counter() - wt0,
+        )
+        ckpt.commit_wave(wave_no, next_rank, pages_fetched, sched)
+        wave_no += 1
+
+    return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
 
 
 def _write_metrics(ckpt, wave_no, n_wave, n_err, n_docs, n_new, n_dup, wall):

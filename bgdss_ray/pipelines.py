@@ -157,6 +157,33 @@ def ann_lsh_pipeline(sf_dir: str):
     return out
 
 
+def ann_ivf_pipeline(sf_dir: str):
+    from .ops.similarity import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).to_pandas()
+    qmat = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    out = ivf_topk(ds, qdf["vec_id"].to_numpy(), qmat, k=10)
+    out["score"] = out["score"].round(6)
+    return out
+
+
+def crawl_priority_pipeline(sf_dir: str):
+    """Priority-frontier crawl (north-star mode) on a small corpus."""
+    import tempfile
+
+    from .pipeline import crawl_priority
+
+    out = os.path.join(tempfile.gettempdir(), "bgdss_driver_prio")
+    ck = CrawlCheckpoint(out)
+    if ck.load_manifest() is None:
+        shutil.rmtree(out, ignore_errors=True)
+        crawl_priority(DRIVER_WEB, out, DRIVER_CFG, wave_cap=200, per_host_cap=25)
+    return CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+
+
 def lang_quality_pipeline(sf_dir: str):
     from .ops.textstats import LangId, QualityScorer
 

@@ -451,6 +451,60 @@ SELECT query_id, id FROM (
 """
 
 
+# --------------------------------------------------------------- q16
+def sessionize(sf_dir: str):
+    """Session windows over the events stream: per user, a session is a
+    maximal run with gaps <= 30 min (streaming-shaped op per the guide:
+    partition by key, sort by ts within group, window with pandas).
+    Timestamps are emitted as epoch seconds (int64) so Ray and DuckDB
+    agree bit-exactly."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        session_no = gap.cumsum().astype("int64") + 1
+        g = g.assign(
+            session_no=session_no,
+            value_cents=np.floor(g["value"] * 100 + 0.5).astype("int64"),
+            # floor to whole epoch seconds regardless of the unit pandas
+            # chose for the timestamp column (us from Arrow, ns classic)
+            epoch=g["ts"].astype("datetime64[s]").astype("int64"),
+        )
+        out = g.groupby("session_no").agg(
+            n_events=("event_id", "count"),
+            session_start=("epoch", "min"),
+            session_end=("epoch", "max"),
+            sum_value_cents=("value_cents", "sum"),
+        ).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events,
+       CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS session_start,
+       CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS session_end,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY 1, 2
+"""
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -467,4 +521,5 @@ SQL_PAIRED = {
     "extract_fields_sentinel": (extract_fields_sentinel, EXTRACT_FIELDS_SENTINEL_SQL),
     "dedup_exact_text": (dedup_exact_text, DEDUP_EXACT_TEXT_SQL),
     "ann_topk_members": (ann_topk_members, ANN_TOPK_MEMBERS_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
 }

@@ -51,3 +51,15 @@ def test_lsh_recall_reasonable(emb):
     # self vector always lands in its own bucket
     top1 = approx[approx["rank"] == 1]
     assert dict(zip(top1["query_id"], top1["id"])) == {q: q for q in qids}
+
+
+def test_ivf_recall_reasonable(emb):
+    from bgdss_ray.ops.similarity import ivf_topk
+
+    ds, _df, qids, qmat = emb
+    exact = brute_force_topk(ds, qids, qmat, k=10)
+    approx = ivf_topk(ds, qids, qmat, k=10)
+    r = recall_at_k(approx, exact, k=10)
+    assert r >= 0.5, f"IVF recall too low: {r}"
+    top1 = approx[approx["rank"] == 1]
+    assert dict(zip(top1["query_id"], top1["id"])) == {q: q for q in qids}
