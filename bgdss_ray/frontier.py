@@ -98,32 +98,65 @@ def dedup_candidates_grouped(ds) -> pa.Table:
             batch.column("parent_rank").to_numpy(zero_copy_only=False),
             batch.column("link_pos").to_numpy(zero_copy_only=False),
         )
-        return batch.append_column("okey", pa.array(keys, type=pa.int64()))
+        # int64 reinterpretation of the hash for the shuffle key: Ray/pandas
+        # degrade uint64 columns to float64 (precision loss past 2^53 drops
+        # rows); the bit pattern is what matters, not the sign
+        h_i64 = batch.column("url_hash").to_numpy(zero_copy_only=False).view(np.int64)
+        return batch.append_column(
+            "okey", pa.array(keys, type=pa.int64())
+        ).append_column("hash_i64", pa.array(h_i64, type=pa.int64()))
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("okey").head(1)
+    from ray.data.aggregate import Min
 
-    deduped = (
-        ds.map_batches(add_keys, batch_format="pyarrow")
-        .groupby("url_hash")
-        .map_groups(first_wins, batch_format="pandas")
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow").materialize()
+    # native Min aggregate (C-speed shuffle, NO per-group python), then a
+    # broadcast winner-filter: a row survives iff its okey is its hash's
+    # minimum — first-occurrence-wins without materializing groups
+    mins = (
+        keyed.groupby("hash_i64")
+        .aggregate(Min("okey", alias_name="okey_min"))
+        .to_pandas()
     )
+    win = dict(zip(mins["hash_i64"].astype("int64"), mins["okey_min"].astype("int64")))
+    import ray as _ray
+
+    win_ref = _ray.put(win)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        w = _ray.get(win_ref)
+        hashes = t.column("hash_i64").to_numpy(zero_copy_only=False)
+        okeys = t.column("okey").to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (w.get(h) == k for h, k in zip(hashes.tolist(), okeys.tolist())),
+            dtype=bool, count=len(hashes),
+        )
+        return t.filter(pa.array(mask))
+
     parts = [
-        pa.Table.from_pandas(b, preserve_index=False)
-        for b in deduped.iter_batches(batch_size=65536, batch_format="pandas")
+        b for b in keyed.map_batches(keep_winners, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
     ]
     if not parts:
         return dedup_candidates(
             pa.Table.from_arrays(
                 [pa.array([], type=t) for t in
-                 [pa.string(), pa.string(), pa.int32(), pa.int64(), pa.int32()]],
+                 [pa.string(), pa.int32(), pa.int64(), pa.int32()]],
                 names=CANDIDATE_COLUMNS,
             )
         )
     out = pa.concat_tables(parts)
     if out.num_rows:
         out = out.sort_by("okey")
-        out = out.drop_columns(["okey"])
+        # exact-duplicate rows (same hash AND same okey — possible when the
+        # same candidate row appears twice) both pass the min filter; keep
+        # the first of each run
+        h = out.column("hash_i64").to_numpy(zero_copy_only=False)
+        k = out.column("okey").to_numpy(zero_copy_only=False)
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = ~((h[1:] == h[:-1]) & (k[1:] == k[:-1]))
+        if not first.all():
+            out = out.filter(pa.array(first))
+        out = out.drop_columns(["okey", "hash_i64"])
         out = out.set_column(
             out.schema.get_field_index("url_hash"),
             "url_hash",

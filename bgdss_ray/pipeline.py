@@ -34,24 +34,26 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from .checkpoint import CrawlCheckpoint, host_state_from_json
+from .checkpoint import CrawlCheckpoint
 from .config import CrawlConfig, DEFAULT_CRAWL
-from .fetch import FetchStage, fetch_batch
 from .frontier import (
     admit_wave,
     dedup_candidates,
     dedup_candidates_grouped,
     seeds_to_candidates,
 )
-from .parse import extract_links_batch, parse_spans_batch
-from .wavestage import WaveStage, explode_links, wave_stage_batch
-from .politeness import HostState, ShardedPoliteness
+from .politeness import ShardedPoliteness
 from .seen import ShardedSeenSet
 from .synth import SynthWeb, SynthWebConfig
+from .wavestage import WaveStage, explode_links, wave_stage_batch
 
 # Above this many candidate rows, in-wave dedup goes through the
-# distributed groupby path instead of driver numpy.
-DISTRIBUTED_DEDUP_THRESHOLD = 200_000
+# distributed groupby path instead of driver numpy. The numpy path
+# handles ~1e6 rows in ~0.3 s and tens of millions comfortably; the
+# groupby shuffle only wins when the candidate set exceeds driver
+# memory (true 10^9-link waves), so the crossover sits far above any
+# sandbox wave. Parity between both paths is tested either way.
+DISTRIBUTED_DEDUP_THRESHOLD = 50_000_000
 
 # Waves at least this large use the FetchStage actor pool (startup amortized);
 # smaller waves run as stateless tasks with per-worker stage caches.
@@ -234,7 +236,15 @@ def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,
     )
     t_log = _t()
     links_table = explode_links(log_links)
-    cand = dedup_candidates(links_table) if links_table.num_rows else None
+    if links_table.num_rows > DISTRIBUTED_DEDUP_THRESHOLD:
+        # wide wave: first-occurrence-wins dedup as a hash-keyed groupby
+        # shuffle (the 10^10-frontier path; parity with the numpy path is
+        # tested in test_seen.py)
+        cand = dedup_candidates_grouped(rd.from_arrow(links_table))
+    elif links_table.num_rows:
+        cand = dedup_candidates(links_table)
+    else:
+        cand = None
     t_links = _t()
     if profile:
         print(
