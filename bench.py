@@ -28,12 +28,13 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# Headline crawl web: ~600k pages in 2 heavy BFS waves (pages_max=1 kills
-# pagination depth) — per-page compute dominates scheduling overhead and
-# per-wave fixed costs at every parallelism level.
-BENCH_WEB = dict(seed=42, n_hosts=1000,
-                 years=(2018, 2019, 2020, 2021, 2022, 2023),
-                 months=tuple(range(1, 13)), pages_max=1, docs_max=40)
+# Headline crawl web: ~2.2M pages in 2 heavy BFS waves (pages_max=1 kills
+# pagination depth) — per-page compute dominates scheduling overhead,
+# per-wave fixed costs, AND the O(candidates) driver admission at every
+# parallelism level, so the scaling measurement reflects the engine.
+BENCH_WEB = dict(seed=42, n_hosts=2000,
+                 years=tuple(range(2014, 2024)),
+                 months=tuple(range(1, 13)), pages_max=1, docs_max=30)
 
 
 def run_crawl(num_cpus: int) -> dict:

@@ -178,14 +178,20 @@ def robots_allowed_mask(urls: pd.Series, hosts: pd.Series, robots) -> np.ndarray
     }
     if not blocked_hosts:
         return mask
-    paths = urls.str.replace(_HOST_RE, "", regex=True).str.split("?").str[0]
+    # compute paths ONLY for rows of hosts that declare Disallow rules
+    # (typically a fraction of the wave) — never the whole column
+    sel = np.concatenate([host_rows[h] for h in blocked_hosts])
+    sub_urls = urls.iloc[sel]
+    paths = sub_urls.str.replace(_HOST_RE, "", regex=True).str.split("?").str[0]
+    pos = {h: i for i, h in enumerate(blocked_hosts)}
+    bounds = np.cumsum([0] + [len(host_rows[h]) for h in blocked_hosts])
     for host, disallow in blocked_hosts.items():
-        idx = host_rows[host]
-        sub = paths.iloc[idx]
-        bad = np.zeros(len(idx), dtype=bool)
+        i = pos[host]
+        seg = paths.iloc[bounds[i]:bounds[i + 1]]
+        bad = np.zeros(len(seg), dtype=bool)
         for d in disallow:
-            bad |= sub.str.startswith(d).to_numpy()
-        mask[idx] = ~bad
+            bad |= seg.str.startswith(d).to_numpy()
+        mask[host_rows[host]] = ~bad
     return mask
 
 
@@ -223,29 +229,31 @@ def admit_wave(
     order = np.argsort(keys, kind="stable")
     candidates = candidates.take(pa.array(order))
 
-    # host/kind are precomputed in the parallel wave stage (crawled
-    # candidates) or at seed build; fall back to driver extraction only
-    # for tables that lack them.
-    if "host" in candidates.schema.names:
-        host_series = candidates.column("host").to_pandas()
-        all_kinds = candidates.column("kind").to_pylist()
-        url_series = None  # only materialized if a robots rule needs paths
-    else:
-        url_series = candidates.column("url").to_pandas()
-        all_hosts, all_kinds = hosts_and_kinds(url_series)
-        host_series = pd.Series(all_hosts)
-
-    # robots gate: blocked URLs never reach the seen set (oracle parity)
-    if robots is not None:
-        if url_series is None:
-            url_series = candidates.column("url").to_pandas()
-        allowed = robots_allowed_mask(url_series, host_series, robots)
-        if not allowed.all():
-            candidates = candidates.filter(pa.array(allowed))
-            host_series = host_series[allowed].reset_index(drop=True)
-            all_kinds = [k for k, a in zip(all_kinds, allowed) if a]
+    # host / is_pdf / blocked are precomputed in the parallel wave stage
+    # (or at seed build) — the driver does zero per-URL string work here.
+    # robots gate first: blocked URLs never reach the seen set (oracle
+    # parity); the flags were evaluated against the same pure robots rules.
+    if "blocked" in candidates.schema.names:
+        blk = candidates.column("blocked").to_numpy(zero_copy_only=False)
+        if blk.any():
+            candidates = candidates.filter(pa.array(~blk))
             if candidates.num_rows == 0:
                 return _empty_wave(), np.empty(0, dtype=np.uint64)
+        host_series = candidates.column("host").to_pandas()
+        all_kinds = candidates.column("is_pdf").to_numpy(zero_copy_only=False)
+    else:
+        url_series = candidates.column("url").to_pandas()
+        all_hosts, kind_strs = hosts_and_kinds(url_series)
+        host_series = pd.Series(all_hosts)
+        all_kinds = np.asarray([k == "pdf" for k in kind_strs], dtype=bool)
+        if robots is not None:
+            allowed = robots_allowed_mask(url_series, host_series, robots)
+            if not allowed.all():
+                candidates = candidates.filter(pa.array(allowed))
+                host_series = host_series[allowed].reset_index(drop=True)
+                all_kinds = all_kinds[allowed]
+                if candidates.num_rows == 0:
+                    return _empty_wave(), np.empty(0, dtype=np.uint64)
 
     hashes = candidates.column("url_hash").to_numpy(zero_copy_only=False)
 
@@ -253,8 +261,8 @@ def admit_wave(
     new_hashes = hashes[new_mask]
 
     admitted = candidates.filter(pa.array(new_mask))
-    hosts = host_series[new_mask].tolist()
-    kinds = [k for k, m in zip(all_kinds, new_mask) if m]
+    hosts = host_series[new_mask.astype(bool)].tolist()
+    kinds = all_kinds[new_mask].tolist()
     if admitted.num_rows > budget_left:
         admitted = admitted.slice(0, budget_left)
         hosts = hosts[:budget_left]
@@ -305,13 +313,18 @@ def _empty_wave() -> pa.Table:
     )
 
 
-def seeds_to_candidates(seed_rows: list[dict]) -> pa.Table:
+def seeds_to_candidates(seed_rows: list[dict], robots=None) -> pa.Table:
     """Seed list → candidate table (parent_rank=-1, link_pos=seed seq),
-    with host/kind precomputed like crawled candidates carry."""
+    with host/is_pdf/blocked precomputed like crawled candidates carry."""
     from .urlnorm import canonicalize
 
     urls = [canonicalize(r["url"]) for r in seed_rows]
     hosts, kinds = hosts_and_kinds(pd.Series(urls)) if urls else ([], [])
+    is_pdf = np.asarray([k == "pdf" for k in kinds], dtype=bool)
+    if robots is not None and urls:
+        blocked = ~robots_allowed_mask(pd.Series(urls), pd.Series(hosts), robots)
+    else:
+        blocked = np.zeros(len(urls), dtype=bool)
     return pa.Table.from_arrays(
         [
             pa.array(urls, type=pa.string()),
@@ -319,7 +332,8 @@ def seeds_to_candidates(seed_rows: list[dict]) -> pa.Table:
             pa.array(np.full(len(seed_rows), -1, dtype=np.int64)),
             pa.array(np.asarray([r["seq"] for r in seed_rows], dtype=np.int32)),
             pa.array(hosts, type=pa.string()),
-            pa.array(kinds, type=pa.string()),
+            pa.array(is_pdf),
+            pa.array(blocked),
         ],
-        names=CANDIDATE_COLUMNS + ["host", "kind"],
+        names=CANDIDATE_COLUMNS + ["host", "is_pdf", "blocked"],
     )

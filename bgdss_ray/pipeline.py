@@ -138,7 +138,7 @@ def crawl(
     else:
         os.makedirs(out_dir, exist_ok=True)
         seed_rows = seeds if seeds is not None else web.seeds()
-        cand = dedup_candidates(seeds_to_candidates(seed_rows))
+        cand = dedup_candidates(seeds_to_candidates(seed_rows, robots=robots))
         wave, new_hashes = admit_wave(
             cand, seen, sched, next_rank,
             cfg.max_pages - pages_fetched, web, cfg, robots=robots,
@@ -305,28 +305,19 @@ def crawl_priority(
 
     def to_backlog(cand: pa.Table) -> pa.Table:
         """Deduped candidates → backlog rows (adds okey, priority), dropping
-        too-deep / robots-blocked / already-seen (seen marked at insert)."""
+        too-deep / robots-blocked / already-seen (seen marked at insert).
+        host/is_pdf/blocked are precomputed (wave stage or seed build)."""
         if cand is None or cand.num_rows == 0:
             return None
         depth = cand.column("depth").to_numpy(zero_copy_only=False)
         cand = cand.filter(pa.array(depth <= cfg.max_depth))
         if cand.num_rows == 0:
             return None
-        urls = cand.column("url").to_pandas()
-        if "host" in cand.schema.names:
-            hosts = cand.column("host").to_pandas()
-        else:
-            h, k = hosts_and_kinds(urls)
-            cand = cand.append_column("host", pa.array(h, type=pa.string()))
-            cand = cand.append_column("kind", pa.array(k, type=pa.string()))
-            hosts = pd.Series(h)
-        if robots is not None:
-            ok = robots_allowed_mask(urls, hosts, robots)
-            if not ok.all():
-                cand = cand.filter(pa.array(ok))
-                if cand.num_rows == 0:
-                    return None
-                urls = cand.column("url").to_pandas()
+        blk = cand.column("blocked").to_numpy(zero_copy_only=False)
+        if blk.any():
+            cand = cand.filter(pa.array(~blk))
+            if cand.num_rows == 0:
+                return None
         hashes = cand.column("url_hash").to_numpy(zero_copy_only=False)
         okey = order_key(
             cand.column("parent_rank").to_numpy(zero_copy_only=False),
@@ -347,7 +338,9 @@ def crawl_priority(
         ).append_column("priority", pa.array(prio, type=pa.float64()))
 
     seed_rows = seeds if seeds is not None else web.seeds()
-    backlog = to_backlog(dedup_candidates(seeds_to_candidates(seed_rows)))
+    backlog = to_backlog(
+        dedup_candidates(seeds_to_candidates(seed_rows, robots=robots))
+    )
     concurrency = fetch_concurrency or cfg.fetch_concurrency
     profile = bool(os.environ.get("BGDSS_PROFILE"))
     next_rank = 0
@@ -367,7 +360,7 @@ def crawl_priority(
         if n_wave == 0:
             break
         hosts = selected.column("host").to_pylist()
-        kinds = selected.column("kind").to_pylist()
+        kinds = selected.column("is_pdf").to_numpy(zero_copy_only=False).tolist()
         delays = None
         if robots is not None:
             delays = {

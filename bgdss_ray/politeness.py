@@ -43,6 +43,9 @@ def next_vtime(
     ``delay_override`` is the host's robots.txt Crawl-delay when declared
     (north rule: robots + crawl-delay budgets); otherwise the default.
     """
+    # kind may be the string "pdf"/"listing" (oracle path) or a bool/np.bool_
+    # is_pdf flag (engine path — precomputed in the parallel wave stage)
+    is_pdf = (kind == "pdf") if isinstance(kind, str) else bool(kind)
     delay = cfg.default_delay_s if delay_override is None else delay_override
     if state.count < cfg.burst_allowance:
         t = state.last_vtime
@@ -51,11 +54,11 @@ def next_vtime(
     # sliding-window requests_per_minute cap
     if len(state.window) >= cfg.requests_per_minute:
         t = max(t, state.window[0] + 60.0)
-    if kind == "pdf":
+    if is_pdf:
         t = max(t, state.last_pdf_vtime + cfg.inter_download_delay_s)
     state.count += 1
     state.last_vtime = t
-    if kind == "pdf":
+    if is_pdf:
         state.last_pdf_vtime = t
     state.window.append(t)
     while len(state.window) > cfg.requests_per_minute:

@@ -24,7 +24,8 @@ LINK_STRUCT = pa.struct(
         pa.field("pos", pa.int32()),
         pa.field("url_hash", pa.uint64()),
         pa.field("host", pa.string()),
-        pa.field("kind", pa.string()),
+        pa.field("is_pdf", pa.bool_()),
+        pa.field("blocked", pa.bool_()),
     ]
 )
 
@@ -45,10 +46,20 @@ class WaveStage:
 
     def __init__(self, web_cfg: SynthWebConfig, cfg: CrawlConfig,
                  docs_dir: str | None = None, log_dir: str | None = None):
+        from .robots import RobotsIndex
+        from .synth import SynthWeb
+
         self.fetcher = FetchStage(web_cfg, cfg)
         self.parser = SpanParser(cfg.min_pdf_bytes, cfg.pdf_magic)
         self.docs_dir = docs_dir
         self.log_dir = log_dir
+        # robots rules are a pure function of host (web.robots_body), so
+        # every worker evaluates Disallow flags locally — the driver never
+        # touches per-URL robots work
+        self.robots = (
+            RobotsIndex(SynthWeb(web_cfg).robots_body)
+            if cfg.respect_robots else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .frontier import hosts_and_kinds
@@ -83,15 +94,27 @@ class WaveStage:
         if self.docs_dir is not None:
             self._write_docs(fetched, spans_arr, has_doc)
 
+        import pandas as pd
+
+        from .frontier import robots_allowed_mask
+
         hashes = url_hash64(flat_url)
         hosts, link_kinds = hosts_and_kinds(flat_url) if flat_url else ([], [])
+        is_pdf = np.asarray([k == "pdf" for k in link_kinds], dtype=bool)
+        if self.robots is not None and flat_url:
+            blocked = ~robots_allowed_mask(
+                pd.Series(flat_url), pd.Series(hosts), self.robots
+            )
+        else:
+            blocked = np.zeros(len(flat_url), dtype=bool)
         link_struct = pa.StructArray.from_arrays(
             [
                 pa.array(flat_url, type=pa.string()),
                 pa.array(np.asarray(flat_pos, dtype=np.int32)),
                 pa.array(hashes, type=pa.uint64()),
                 pa.array(hosts, type=pa.string()),
-                pa.array(link_kinds, type=pa.string()),
+                pa.array(is_pdf),
+                pa.array(blocked),
             ],
             fields=list(LINK_STRUCT),
         )
@@ -157,8 +180,9 @@ def explode_links(table: pa.Table) -> pa.Table:
             depths,
             pc.struct_field(flat, "url_hash"),
             pc.struct_field(flat, "host"),
-            pc.struct_field(flat, "kind"),
+            pc.struct_field(flat, "is_pdf"),
+            pc.struct_field(flat, "blocked"),
         ],
         names=["url", "parent_rank", "link_pos", "depth",
-               "url_hash", "host", "kind"],
+               "url_hash", "host", "is_pdf", "blocked"],
     )
