@@ -28,10 +28,14 @@ from .synth import SynthWebConfig
 DRIVER_WEB = SynthWebConfig(seed=42, n_hosts=10, years=(2022, 2023), months=(1, 2, 3))
 DRIVER_CFG = CrawlConfig(max_depth=3, fetch_concurrency=4)
 
+# bump when checkpoint layout/schema changes so stale /tmp caches from an
+# older code version are never reused
+_CACHE_VERSION = "v3"
+
 
 def _crawl_dir() -> str:
     """Run (or reuse this process's) driver crawl under /tmp."""
-    out = os.path.join(tempfile.gettempdir(), "bgdss_driver_crawl")
+    out = os.path.join(tempfile.gettempdir(), f"bgdss_driver_crawl_{_CACHE_VERSION}")
     ck = CrawlCheckpoint(out)
     m = ck.load_manifest()
     if m is None:
@@ -176,7 +180,7 @@ def crawl_priority_pipeline(sf_dir: str):
 
     from .pipeline import crawl_priority
 
-    out = os.path.join(tempfile.gettempdir(), "bgdss_driver_prio")
+    out = os.path.join(tempfile.gettempdir(), f"bgdss_driver_prio_{_CACHE_VERSION}")
     ck = CrawlCheckpoint(out)
     if ck.load_manifest() is None:
         shutil.rmtree(out, ignore_errors=True)
