@@ -274,6 +274,7 @@ def crawl_priority(
     wave_cap: int = 50_000,
     per_host_cap: int = 30,
     fetch_concurrency: int | None = None,
+    resume: bool = False,
 ) -> CrawlRunResult:
     """Priority-frontier crawl (north-star mode): backlog table scored by
     recency (year*12+month - depth), each wave admits the top-priority
@@ -303,21 +304,22 @@ def crawl_priority(
     )
     from .politeness import assign_vtimes  # noqa: F401 (scheduler used)
 
-    def to_backlog(cand: pa.Table) -> pa.Table:
-        """Deduped candidates → backlog rows (adds okey, priority), dropping
-        too-deep / robots-blocked / already-seen (seen marked at insert).
-        host/is_pdf/blocked are precomputed (wave stage or seed build)."""
+    def to_backlog(cand: pa.Table):
+        """Deduped candidates → (backlog rows, new seen hashes): adds okey
+        + priority, drops too-deep / robots-blocked / already-seen (seen
+        marked at insert). host/is_pdf/blocked are precomputed."""
+        empty = np.empty(0, dtype=np.uint64)
         if cand is None or cand.num_rows == 0:
-            return None
+            return None, empty
         depth = cand.column("depth").to_numpy(zero_copy_only=False)
         cand = cand.filter(pa.array(depth <= cfg.max_depth))
         if cand.num_rows == 0:
-            return None
+            return None, empty
         blk = cand.column("blocked").to_numpy(zero_copy_only=False)
         if blk.any():
             cand = cand.filter(pa.array(~blk))
             if cand.num_rows == 0:
-                return None
+                return None, empty
         hashes = cand.column("url_hash").to_numpy(zero_copy_only=False)
         okey = order_key(
             cand.column("parent_rank").to_numpy(zero_copy_only=False),
@@ -327,26 +329,42 @@ def crawl_priority(
         o = np.argsort(okey, kind="stable")
         new_mask = np.zeros(len(okey), dtype=bool)
         new_mask[o] = seen.check_and_add(hashes[o])
+        new_hashes = hashes[new_mask]
         cand = cand.filter(pa.array(new_mask))
         if cand.num_rows == 0:
-            return None
+            return None, new_hashes
         urls = cand.column("url").to_pandas()
         depth = cand.column("depth").to_numpy(zero_copy_only=False)
         prio = priority_scores(urls, depth)
         return cand.append_column(
             "okey", pa.array(okey[new_mask], type=pa.int64())
-        ).append_column("priority", pa.array(prio, type=pa.float64()))
+        ).append_column("priority", pa.array(prio, type=pa.float64())), new_hashes
 
-    seed_rows = seeds if seeds is not None else web.seeds()
-    backlog = to_backlog(
-        dedup_candidates(seeds_to_candidates(seed_rows, robots=robots))
-    )
     concurrency = fetch_concurrency or cfg.fetch_concurrency
     profile = bool(os.environ.get("BGDSS_PROFILE"))
     next_rank = 0
     pages_fetched = 0
     docs_emitted = 0
     wave_no = 0
+    pending_hashes = np.empty(0, dtype=np.uint64)
+
+    manifest = ckpt.load_manifest() if resume else None
+    if manifest is not None:
+        wave_no = manifest["completed_wave"] + 1
+        next_rank = manifest["next_rank"]
+        pages_fetched = manifest["pages_fetched"]
+        sched.load_state(manifest["host_state"])
+        seen_hashes = ckpt.load_seen_upto(manifest["completed_wave"])
+        if len(seen_hashes):
+            seen.check_and_add(seen_hashes)
+        backlog = ckpt.load_frontier_next(manifest["completed_wave"])
+        if backlog is not None and backlog.num_rows == 0:
+            backlog = None
+    else:
+        seed_rows = seeds if seeds is not None else web.seeds()
+        backlog, pending_hashes = to_backlog(
+            dedup_candidates(seeds_to_candidates(seed_rows, robots=robots))
+        )
 
     while backlog is not None and backlog.num_rows > 0:
         wt0 = time.perf_counter()
@@ -386,7 +404,11 @@ def crawl_priority(
         )
         pages_fetched += n_wave
         docs_emitted += n_docs
-        incoming = to_backlog(cand)
+        incoming, new_hashes = to_backlog(cand)
+        ckpt.write_seen_delta(
+            wave_no, np.concatenate([pending_hashes, new_hashes])
+        )
+        pending_hashes = np.empty(0, dtype=np.uint64)
         if incoming is not None:
             backlog = (
                 pa.concat_tables([backlog, incoming]).combine_chunks()

@@ -505,6 +505,87 @@ FROM s GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q17
+def hash_join_revenue(sf_dir: str):
+    """Both-sides-large join: orders ⋈ customer via Ray's hash-partitioned
+    Dataset.join (the explicit bucketed pattern lives in ops/joins.py,
+    tested equal), then revenue per nation."""
+    from .ops.joins import native_join
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = native_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                         num_partitions=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_nationkey": t["c_nationkey"].cast(pa.int32()),
+             "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    return (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("price_cents", alias_name="revenue_cents"))
+    )
+
+
+HASH_JOIN_REVENUE_SQL = """
+SELECT c.c_nationkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- q18
+def topk_per_group(sf_dir: str):
+    """Top-3 orders per priority class (windowed top-k)."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+
+    return ds.groupby("o_orderpriority").map_groups(top3, batch_format="pandas")
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------- q19
+def running_totals(sf_dir: str):
+    """Ordered running sum per event_type (incremental streaming state:
+    partition by key, process in ts order)."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.floor(g["value"] * 100 + 0.5).astype("int64")
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "event_type": g["event_type"],
+             "cum_value_cents": cents.cumsum()}
+        )
+
+    return ds.groupby("event_type").map_groups(cum, batch_format="pandas")
+
+
+RUNNING_TOTALS_SQL = """
+SELECT event_id, event_type,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY event_type ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents
+FROM events
+"""
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -522,4 +603,7 @@ SQL_PAIRED = {
     "dedup_exact_text": (dedup_exact_text, DEDUP_EXACT_TEXT_SQL),
     "ann_topk_members": (ann_topk_members, ANN_TOPK_MEMBERS_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
+    "hash_join_revenue": (hash_join_revenue, HASH_JOIN_REVENUE_SQL),
+    "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
+    "running_totals": (running_totals, RUNNING_TOTALS_SQL),
 }

@@ -101,3 +101,26 @@ def test_priority_differs_from_bfs(oracle_result):
     assert bfs.crawl_order != oracle_result.crawl_order
     # both modes eventually fetch the same allowed URL universe
     assert set(bfs.crawl_order) == set(oracle_result.crawl_order)
+
+
+def test_priority_resume_equals_uninterrupted(tmp_path, oracle_result,
+                                              engine_result):
+    """Interrupt the priority crawl at a wave boundary, resume: identical.
+
+    (Priority-mode wave composition depends on wave boundaries — new
+    children compete with the backlog — so resume parity is defined at
+    wave-aligned interruption points, which is where the engine actually
+    checkpoints.)"""
+    _res, ckpt0 = engine_result
+    wave0 = int(
+        ckpt0.read_all("metrics").to_pandas().sort_values("wave")["selected"].iloc[0]
+    )
+    out = str(tmp_path / "prio_resume")
+    budget = wave0
+    cfg_stop = CrawlConfig(max_depth=3, seen_shards=4, fetch_concurrency=2,
+                           max_pages=budget)
+    crawl_priority(WEB, out, cfg_stop, wave_cap=WAVE_CAP, per_host_cap=HOST_CAP)
+    crawl_priority(WEB, out, CFG, wave_cap=WAVE_CAP, per_host_cap=HOST_CAP,
+                   resume=True)
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
