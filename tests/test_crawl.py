@@ -193,3 +193,58 @@ def test_politeness_actor_shards_match(tmp_path, oracle_result):
     att = np.asarray(log.column("attempts").to_pylist())
     backoff = np.array([sum(2.0 * k for k in range(1, a)) for a in att])
     assert np.allclose(eng - backoff, np.asarray(oracle_result.vtimes))
+
+
+def test_resume_overwrites_partial_wave_files(tmp_path, oracle_result):
+    """Crash simulation: a wave's data files were written but its manifest
+    commit never happened (the real mid-wave kill window). Resume must
+    overwrite the partial files deterministically and produce the exact
+    oracle outputs."""
+    import json
+    import os
+
+    out = str(tmp_path / "crash")
+    # full run once to produce all files
+    crawl(WEB, out, CFG)
+    ck = CrawlCheckpoint(out)
+    full_log = ck.read_all("crawl_log").sort_by("crawl_seq")
+    # roll the manifest back to wave 0 (as if the process died during
+    # wave 1, after writing some of its parquet shards)
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    met = ck.read_all("metrics").to_pandas().sort_values("wave")
+    wave0_pages = int(met["selected"].iloc[0])
+    # reconstruct wave-0 manifest: re-run politeness fold over wave 0 only
+    from bgdss_ray.checkpoint import atomic_write_json
+    from bgdss_ray.politeness import ShardedPoliteness
+
+    from bgdss_ray.robots import RobotsIndex
+    from bgdss_ray.synth import SynthWeb
+
+    sched = ShardedPoliteness(CFG.politeness, n_shards=CFG.seen_shards)
+    log0 = full_log.slice(0, wave0_pages)
+    robots = RobotsIndex(SynthWeb(WEB).robots_body)
+    hosts0 = log0.column("host").to_pylist()
+    delays = {h: robots.crawl_delay(h) for h in set(hosts0)
+              if robots.crawl_delay(h) is not None}
+    sched.assign(
+        hosts0,
+        [k == "pdf" for k in log0.column("kind").to_pylist()],
+        delays,
+    )
+    atomic_write_json(
+        os.path.join(out, "manifest.json"),
+        {"completed_wave": 0, "next_rank": wave0_pages,
+         "pages_fetched": wave0_pages, "host_state": sched.dump_state()},
+    )
+    # corrupt one of wave 1's data shards to prove it gets overwritten
+    w1 = os.path.join(out, "crawl_log", "wave=1")
+    victims = sorted(os.listdir(w1))
+    with open(os.path.join(w1, victims[0]), "wb") as f:
+        f.write(b"garbage")
+
+    res = crawl(WEB, out, CFG, resume=True)
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+    seen_engine = set(int(h) for h in CrawlCheckpoint(out).load_seen_upto(res.waves + 1))
+    assert seen_engine == oracle_result.seen
