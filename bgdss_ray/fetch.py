@@ -38,22 +38,6 @@ def probe_site(web, host: str) -> dict:
     }
 
 
-# Per-worker-process stage cache: gives the "state built once per worker"
-# property without paying actor-pool startup on every wave. Keyed by the
-# frozen configs (hashable dataclasses). Used by the stateless-task fetch
-# path; the FetchStage actor path below is for waves big enough to amortize
-# pool startup (pipeline.py picks).
-_STAGE_CACHE: dict = {}
-
-
-def fetch_batch(batch: pa.Table, *, web_cfg, cfg) -> pa.Table:
-    key = (web_cfg, cfg)
-    stage = _STAGE_CACHE.get(key)
-    if stage is None:
-        stage = _STAGE_CACHE[key] = FetchStage(web_cfg, cfg)
-    return stage(batch)
-
-
 class FetchStage:
     """map_batches callable over frontier-wave batches.
 

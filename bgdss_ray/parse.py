@@ -119,69 +119,6 @@ class SpanParser:
         )
 
 
-class LinkExtractor:
-    """Engine-side: fetch-result batch → candidate child frontier rows.
-
-    Output columns: url (canonical child), title, parent_rank (int64),
-    link_pos (int32), depth (child depth). Dedup/seen handling happens
-    downstream; this stage only enumerates, preserving listing order via
-    (parent_rank, link_pos) — the key that makes crawl order computed, not
-    observed (SURVEY.md §7.5 item 1).
-    """
-
-    def __init__(self):
-        self.span_re = _SPAN_RE
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        kinds = batch.column("kind").to_pylist()
-        bodies = batch.column("body").to_pylist()
-        statuses = batch.column("status").to_numpy(zero_copy_only=False)
-        ranks = batch.column("crawl_seq").to_numpy(zero_copy_only=False)
-        depths = batch.column("depth").to_numpy(zero_copy_only=False)
-        out_url, out_title, out_rank, out_pos, out_depth = [], [], [], [], []
-        for url, kind, body, status, rank, depth in zip(
-            urls, kinds, bodies, statuses, ranks, depths
-        ):
-            if status != 200 or kind != "listing" or body is None:
-                continue
-            spans = parse_html_spans(body.decode("utf-8", errors="replace"), url)
-            for pos, (child, title) in enumerate(links_of(spans)):
-                out_url.append(child)
-                out_title.append(title)
-                out_rank.append(rank)
-                out_pos.append(pos)
-                out_depth.append(depth + 1)
-        return pa.Table.from_arrays(
-            [
-                pa.array(out_url, type=pa.string()),
-                pa.array(out_title, type=pa.string()),
-                pa.array(np.asarray(out_rank, dtype=np.int64)),
-                pa.array(np.asarray(out_pos, dtype=np.int32)),
-                pa.array(np.asarray(out_depth, dtype=np.int32)),
-            ],
-            names=["url", "title", "parent_rank", "link_pos", "depth"],
-        )
-
-
-# Stateless-task entry points (module-level singletons: regexes compiled
-# once per worker process; cheaper than actor pools for small waves).
-_SPAN_PARSER_CACHE: dict = {}
-_LINK_EXTRACTOR = LinkExtractor()
-
-
-def parse_spans_batch(batch: pa.Table, *, min_pdf_bytes: int, pdf_magic: bytes) -> pa.Table:
-    key = (min_pdf_bytes, pdf_magic)
-    p = _SPAN_PARSER_CACHE.get(key)
-    if p is None:
-        p = _SPAN_PARSER_CACHE[key] = SpanParser(min_pdf_bytes, pdf_magic)
-    return p(batch)
-
-
-def extract_links_batch(batch: pa.Table) -> pa.Table:
-    return _LINK_EXTRACTOR(batch)
-
-
 def spanify_flat_documents(batch: pa.Table) -> pa.Table:
     """Adapter: flat text documents (testdata ``documents`` table:
     doc_id,text,…) → interleaved-span DOCUMENTS rows.

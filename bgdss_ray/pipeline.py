@@ -1,25 +1,29 @@
-"""The crawl pipeline: wave-driven frontier → fetch → parse → admit loop.
+"""The crawl pipelines: BFS (reference parity) and priority-frontier modes.
 
-Each BFS wave is one streaming Ray Data pipeline:
+Each wave is ONE Ray Data execution:
 
-    from_arrow(wave) → map_batches(FetchStage, actor pool)   # simulated I/O
-                     → map_batches(SpanParser)  → documents parquet partition
-                     → map_batches(LinkExtractor) → candidate children
+    from_arrow(wave slices) → map_batches(WaveStage)
+        # fetch + span-parse + link-extract + documents/crawl-log parquet
+        # writes all inside the stage; bodies and spans never reach the
+        # driver — only slim control columns + candidate links come back
 
-Candidates are deduped first-occurrence-wins (numpy path for driver-sized
-waves, ``dedup_candidates_grouped`` for wide ones), anti-joined against the
-sharded seen set, ranked deterministically from (parent_rank, link_pos), and
-politeness-scheduled on a virtual clock — so crawl order, seen set, and
-virtual schedule match the sequential oracle exactly at any parallelism.
+Candidates carry precomputed url_hash/host/is_pdf/blocked flags (evaluated
+in parallel in the stage), are deduped first-occurrence-wins (numpy path
+for driver-sized waves, ``dedup_candidates_grouped``'s native-aggregate
+shuffle for wider ones), anti-joined against the sharded seen set, ranked
+deterministically from (parent_rank, link_pos), and politeness-scheduled on
+a virtual clock by sharded budget owners — so crawl order, seen set, and
+virtual schedule match the sequential oracles exactly at any parallelism.
 
 Per-wave outputs are checkpointed (documents/, crawl_log/, seen/, metrics/)
-and the manifest commits after each wave: a killed run resumes from the last
-committed wave and produces byte-identical results (tests/test_crawl.py).
+with idempotent shard filenames and an atomic manifest commit per wave: a
+killed run resumes from the last committed wave — stale partial files from
+the crashed wave are overwritten deterministically (tests/test_crawl.py).
 
-Scale notes: the wave table is the bounded unit (politeness budgets cap how
-much of the backlog any wave admits); fetched bodies never accumulate — they
-stream through parse into parquet within the wave. The only driver-held
-state is O(hosts) politeness fold state + the wave being admitted.
+Scale notes: the wave table is the bounded unit; fetched bodies never
+accumulate — they stream through parse into parquet within the wave. The
+only driver-held state is O(hosts) politeness fold state + the wave being
+admitted (the priority-mode backlog checkpoints to parquet each wave).
 """
 
 from __future__ import annotations
@@ -71,15 +75,6 @@ class CrawlRunResult:
     seen_size: int
     docs_emitted: int
     wall_s: float
-
-
-def _docs_from_processed(t: pa.Table) -> pa.Table:
-    """Processed wave rows → DOCUMENTS rows (pages that yielded spans)."""
-    mask = pa.compute.is_valid(t.column("spans"))
-    kept = t.filter(mask)
-    return pa.Table.from_arrays(
-        [kept.column("url"), kept.column("spans")], names=["doc_id", "spans"]
-    )
 
 
 def _ds_to_table(ds) -> pa.Table:
