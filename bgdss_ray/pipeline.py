@@ -153,10 +153,17 @@ def crawl(
         # --- bookkeeping / checkpoint ---------------------------------
         pages_fetched += n_wave
         docs_emitted += n_docs
-        ckpt.write_seen_delta(wave_no, new_hashes)
+        # checkpoint writes overlap the driver's remaining wave work; the
+        # manifest commit below joins first, so atomicity is unchanged
+        import threading
 
-        if cand is not None and cand.num_rows:
-            ckpt.write_frontier_next(wave_no, cand)
+        def _writes(w=wave_no, nh=new_hashes, c=cand):
+            ckpt.write_seen_delta(w, nh)
+            if c is not None and c.num_rows:
+                ckpt.write_frontier_next(w, c)
+
+        wr = threading.Thread(target=_writes)
+        wr.start()
         wall = time.perf_counter() - wt0
         _write_metrics(
             ckpt, wave_no, n_wave, n_err, n_docs,
@@ -164,6 +171,7 @@ def crawl(
             n_dup=(cand.num_rows if cand is not None else 0),
             wall=wall,
         )
+        wr.join()
         ckpt.commit_wave(wave_no, next_rank, pages_fetched, sched)
         wave_no += 1
 
