@@ -129,7 +129,12 @@ class ResolutionExtractor:
                     rows[c].append(SENTINEL)
                 continue
             ok.append(True)
-            text = text[: self.max_text_chars]  # truncation, pdf_call.py:246
+            if len(text) > self.max_text_chars:
+                # truncation, pdf_call.py:246 — rebuild paras from the
+                # truncated text so para-scanned fields (objeto, prazo,
+                # vedado) see exactly what the char-scanned fields see
+                text = text[: self.max_text_chars]
+                paras = [p for p in text.split("\n\n") if p.strip()]
             fields = extract_one(text, paras)
             for c in RESOLUTION_COLUMNS[:7]:
                 rows[c].append(fields[c])

@@ -204,23 +204,30 @@ def admit_wave(
     web: SynthWeb,
     cfg: CrawlConfig,
     robots=None,
-) -> tuple[pa.Table, np.ndarray]:
+) -> tuple[pa.Table, np.ndarray, pa.Table | None]:
     """Dedup candidates, drop too-deep/robots-blocked/seen, rank,
     politeness-schedule.
 
-    Returns (wave table ready for FetchStage, new seen hashes). ``candidates``
-    must already be in-wave deduped (carry url_hash).
+    Returns (wave table ready for FetchStage, new seen hashes, overflow).
+    ``candidates`` must already be in-wave deduped (carry url_hash).
+
+    ``overflow`` is the admitted-but-over-budget remainder: rows already
+    marked seen (enqueue semantics, like the oracle's queue) that did not
+    fit in ``budget_left``. The caller must carry them into the next
+    frontier so a budget-truncated run resumed with a larger budget fetches
+    them — they re-enter admission with ``preadmitted=True`` and bypass the
+    seen check (they are enqueued, not new).
     """
     n = candidates.num_rows
     if n == 0:
-        return _empty_wave(), np.empty(0, dtype=np.uint64)
+        return _empty_wave(), np.empty(0, dtype=np.uint64), None
 
     # Depth gate FIRST: the oracle never marks too-deep children as seen
     # (oracle.py enqueues only when depth+1 <= max_depth).
     depth_all = candidates.column("depth").to_numpy(zero_copy_only=False)
     candidates = candidates.filter(pa.array(depth_all <= cfg.max_depth))
     if candidates.num_rows == 0:
-        return _empty_wave(), np.empty(0, dtype=np.uint64)
+        return _empty_wave(), np.empty(0, dtype=np.uint64), None
 
     keys = order_key(
         candidates.column("parent_rank").to_numpy(zero_copy_only=False),
@@ -238,7 +245,7 @@ def admit_wave(
         if blk.any():
             candidates = candidates.filter(pa.array(~blk))
             if candidates.num_rows == 0:
-                return _empty_wave(), np.empty(0, dtype=np.uint64)
+                return _empty_wave(), np.empty(0, dtype=np.uint64), None
         host_series = candidates.column("host").to_pandas()
         all_kinds = candidates.column("is_pdf").to_numpy(zero_copy_only=False)
     else:
@@ -253,23 +260,46 @@ def admit_wave(
                 host_series = host_series[allowed].reset_index(drop=True)
                 all_kinds = all_kinds[allowed]
                 if candidates.num_rows == 0:
-                    return _empty_wave(), np.empty(0, dtype=np.uint64)
+                    return _empty_wave(), np.empty(0, dtype=np.uint64), None
 
     hashes = candidates.column("url_hash").to_numpy(zero_copy_only=False)
 
-    new_mask = seen.check_and_add(hashes)  # marks seen = "enqueued", oracle parity
+    # carried-over rows from a budget-truncated wave are already enqueued
+    # (marked seen when first admitted) — they bypass the seen check
+    if "preadmitted" in candidates.schema.names:
+        pre = candidates.column("preadmitted").to_numpy(zero_copy_only=False)
+        pre = np.asarray(pre, dtype=bool)
+    else:
+        pre = np.zeros(len(hashes), dtype=bool)
+    new_mask = np.zeros(len(hashes), dtype=bool)
+    fresh_idx = np.nonzero(~pre)[0]
+    if len(fresh_idx):
+        # marks seen = "enqueued", oracle parity (in-order within the call)
+        new_mask[fresh_idx] = seen.check_and_add(hashes[fresh_idx])
     new_hashes = hashes[new_mask]
 
-    admitted = candidates.filter(pa.array(new_mask))
-    hosts = host_series[new_mask.astype(bool)].tolist()
-    kinds = all_kinds[new_mask].tolist()
+    keep = new_mask | pre
+    admitted = candidates.filter(pa.array(keep))
+    hosts = host_series[keep].tolist()
+    kinds = all_kinds[keep].tolist()
+    overflow = None
     if admitted.num_rows > budget_left:
+        overflow = admitted.slice(budget_left)
+        # remainder re-enters admission as already-enqueued carry-over
+        names = overflow.schema.names
+        flags = pa.array(np.ones(overflow.num_rows, dtype=bool))
+        if "preadmitted" in names:
+            overflow = overflow.set_column(
+                names.index("preadmitted"), "preadmitted", flags
+            )
+        else:
+            overflow = overflow.append_column("preadmitted", flags)
         admitted = admitted.slice(0, budget_left)
         hosts = hosts[:budget_left]
         kinds = kinds[:budget_left]
     m = admitted.num_rows
     if m == 0:
-        return _empty_wave(), new_hashes
+        return _empty_wave(), new_hashes, overflow
 
     delays = None
     if robots is not None:
@@ -296,7 +326,7 @@ def admit_wave(
         ],
         names=["url", "url_hash", "host", "depth", "crawl_seq", "vtime"],
     )
-    return wave, new_hashes
+    return wave, new_hashes, overflow
 
 
 def _empty_wave() -> pa.Table:

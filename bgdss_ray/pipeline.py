@@ -77,6 +77,22 @@ class CrawlRunResult:
     wall_s: float
 
 
+def _merge_carry(overflow: pa.Table, cand: pa.Table | None) -> pa.Table:
+    """Union the over-budget admitted remainder (preadmitted=True) with the
+    wave's new candidates; first-occurrence-wins dedup keeps the carry-over
+    row on hash collisions (its order key is strictly smaller — an earlier
+    parent rank — exactly the oracle's already-in-queue-wins semantics)."""
+    if cand is None or cand.num_rows == 0:
+        return overflow
+    if "preadmitted" not in cand.schema.names:
+        cand = cand.append_column(
+            "preadmitted", pa.array(np.zeros(cand.num_rows, dtype=bool))
+        )
+    names = [n for n in cand.schema.names if n in overflow.schema.names]
+    merged = pa.concat_tables([overflow.select(names), cand.select(names)])
+    return dedup_candidates(merged)
+
+
 def _ds_to_table(ds) -> pa.Table:
     parts = [b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
     if not parts:
@@ -126,7 +142,7 @@ def crawl(
         candidates = ckpt.load_frontier_next(manifest["completed_wave"])
         if candidates is None or candidates.num_rows == 0:
             return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
-        wave, new_hashes = _admit_precomputed(
+        wave, new_hashes, overflow = _admit_precomputed(
             candidates, seen, sched, next_rank, cfg, web,
             budget_left=cfg.max_pages - pages_fetched, robots=robots,
         )
@@ -134,7 +150,7 @@ def crawl(
         os.makedirs(out_dir, exist_ok=True)
         seed_rows = seeds if seeds is not None else web.seeds()
         cand = dedup_candidates(seeds_to_candidates(seed_rows, robots=robots))
-        wave, new_hashes = admit_wave(
+        wave, new_hashes, overflow = admit_wave(
             cand, seen, sched, next_rank,
             cfg.max_pages - pages_fetched, web, cfg, robots=robots,
         )
@@ -149,6 +165,11 @@ def crawl(
         n_docs, n_err, cand = _execute_wave(
             wave, web_cfg, cfg, concurrency, ckpt, wave_no, profile, wt0
         )
+        if overflow is not None and overflow.num_rows:
+            # budget-truncated admission: the already-enqueued remainder
+            # carries into the next frontier so a resume with a larger
+            # budget fetches it (oracle queue semantics)
+            cand = _merge_carry(overflow, cand)
 
         # --- bookkeeping / checkpoint ---------------------------------
         pages_fetched += n_wave
@@ -157,10 +178,15 @@ def crawl(
         # manifest commit below joins first, so atomicity is unchanged
         import threading
 
+        werr: list[BaseException] = []
+
         def _writes(w=wave_no, nh=new_hashes, c=cand):
-            ckpt.write_seen_delta(w, nh)
-            if c is not None and c.num_rows:
-                ckpt.write_frontier_next(w, c)
+            try:
+                ckpt.write_seen_delta(w, nh)
+                if c is not None and c.num_rows:
+                    ckpt.write_frontier_next(w, c)
+            except BaseException as e:  # re-raised after join, before commit
+                werr.append(e)
 
         wr = threading.Thread(target=_writes)
         wr.start()
@@ -172,6 +198,10 @@ def crawl(
             wall=wall,
         )
         wr.join()
+        if werr:
+            # a failed seen/frontier write must NOT be committed over —
+            # resume would re-crawl or terminate early (silent data loss)
+            raise werr[0]
         ckpt.commit_wave(wave_no, next_rank, pages_fetched, sched)
         wave_no += 1
 
@@ -179,7 +209,7 @@ def crawl(
         if cand is None or cand.num_rows == 0 or budget_left <= 0:
             break
         t_adm0 = time.perf_counter()
-        wave, new_hashes = _admit_precomputed(
+        wave, new_hashes, overflow = _admit_precomputed(
             cand, seen, sched, next_rank, cfg, web, budget_left,
             robots=robots,
         )
@@ -211,6 +241,15 @@ def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,
     ds = rd.from_arrow(slices)
     docs_dir = ckpt.wave_dir("documents", wave_no)
     log_dir = ckpt.wave_dir("crawl_log", wave_no)
+    # this wave has no committed manifest entry — clear any stale shards
+    # from a crashed prior attempt: shard names derive from block-start
+    # crawl_seqs, which shift if fetch_concurrency changed between runs,
+    # so overwrite-by-name alone cannot be trusted
+    import glob as _glob
+
+    for d in (docs_dir, log_dir):
+        for f in _glob.glob(os.path.join(d, "part-*.parquet")):
+            os.remove(f)
     t_prep = _t()
     if n_wave >= ACTOR_POOL_WAVE_THRESHOLD:
         processed = ds.map_batches(

@@ -127,6 +127,67 @@ def test_resume_equals_uninterrupted(tmp_path, oracle_result):
     assert seen_engine == oracle_result.seen
 
 
+def test_resume_after_midwave_budget_cut(tmp_path, oracle_result):
+    """Budget cut strictly inside wave 1 (NOT at a wave boundary), then
+    resume with the full budget: the over-budget admitted remainder must
+    carry over (it was already marked seen), so the resumed crawl equals
+    the uninterrupted one — order AND seen set."""
+    out = str(tmp_path / "cut")
+    w = SynthWeb(WEB)
+    from bgdss_ray.frontier import dedup_candidates, seeds_to_candidates
+
+    n_seeds = dedup_candidates(seeds_to_candidates(w.seeds())).num_rows
+    budget = n_seeds + 1  # one page into wave 1
+    assert budget < len(oracle_result.crawl_order)
+    cfg_cut = CrawlConfig(max_depth=3, seen_shards=4, fetch_concurrency=2,
+                          max_pages=budget)
+    crawl(WEB, out, cfg_cut)
+    res = crawl(WEB, out, CFG, resume=True)
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+    seen_engine = set(int(h) for h in CrawlCheckpoint(out).load_seen_upto(res.waves + 1))
+    assert seen_engine == oracle_result.seen
+
+
+def test_crash_resume_with_different_concurrency(tmp_path, oracle_result):
+    """Crash-sim resume with a DIFFERENT fetch_concurrency: block-start
+    crawl_seqs shift, so the re-run's shard filenames differ from the
+    crashed attempt's — stale shards must be cleared, not concatenated."""
+    import json
+    import os
+
+    out = str(tmp_path / "crash_cc")
+    crawl(WEB, out, CFG)  # fetch_concurrency=2
+    ck = CrawlCheckpoint(out)
+    met = ck.read_all("metrics").to_pandas().sort_values("wave")
+    wave0_pages = int(met["selected"].iloc[0])
+    from bgdss_ray.checkpoint import atomic_write_json
+    from bgdss_ray.politeness import ShardedPoliteness
+    from bgdss_ray.robots import RobotsIndex
+
+    sched = ShardedPoliteness(CFG.politeness, n_shards=CFG.seen_shards)
+    full_log = ck.read_all("crawl_log").sort_by("crawl_seq")
+    log0 = full_log.slice(0, wave0_pages)
+    robots = RobotsIndex(SynthWeb(WEB).robots_body)
+    hosts0 = log0.column("host").to_pylist()
+    delays = {h: robots.crawl_delay(h) for h in set(hosts0)
+              if robots.crawl_delay(h) is not None}
+    sched.assign(hosts0, [k == "pdf" for k in log0.column("kind").to_pylist()],
+                 delays)
+    atomic_write_json(
+        os.path.join(out, "manifest.json"),
+        {"completed_wave": 0, "next_rank": wave0_pages,
+         "pages_fetched": wave0_pages, "host_state": sched.dump_state()},
+    )
+    # resume with concurrency 3: different block boundaries → different
+    # part filenames than the stale wave-1 shards already on disk
+    res = crawl(WEB, out, CFG, resume=True, fetch_concurrency=3)
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+    seen_engine = set(int(h) for h in ck.load_seen_upto(res.waves + 1))
+    assert seen_engine == oracle_result.seen
+
+
 def test_robots_enforced_end_to_end(tmp_path, oracle_result):
     """Some corpus URLs are robots-blocked: they never appear in crawl
     order or the seen set, and Crawl-delay hosts get stretched schedules —
