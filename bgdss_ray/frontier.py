@@ -109,32 +109,27 @@ def dedup_candidates_grouped(ds) -> pa.Table:
     from ray.data.aggregate import Min
 
     keyed = ds.map_batches(add_keys, batch_format="pyarrow").materialize()
-    # native Min aggregate (C-speed shuffle, NO per-group python), then a
-    # broadcast winner-filter: a row survives iff its okey is its hash's
-    # minimum — first-occurrence-wins without materializing groups
-    mins = (
-        keyed.groupby("hash_i64")
-        .aggregate(Min("okey", alias_name="okey_min"))
-        .to_pandas()
-    )
-    win = dict(zip(mins["hash_i64"].astype("int64"), mins["okey_min"].astype("int64")))
-    import ray as _ray
-
-    win_ref = _ray.put(win)
+    # native Min aggregate (C-speed shuffle, NO per-group python), then the
+    # per-hash minima join BACK distributed (hash-partitioned on hash_i64):
+    # a row survives iff its okey is its hash's minimum —
+    # first-occurrence-wins with no O(distinct-hashes) driver state
+    mins = keyed.groupby("hash_i64").aggregate(Min("okey", alias_name="okey_min"))
+    keep_cols = keyed.schema().names
 
     def keep_winners(t: pa.Table) -> pa.Table:
-        w = _ray.get(win_ref)
-        hashes = t.column("hash_i64").to_numpy(zero_copy_only=False)
-        okeys = t.column("okey").to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            (w.get(h) == k for h, k in zip(hashes.tolist(), okeys.tolist())),
-            dtype=bool, count=len(hashes),
-        )
-        return t.filter(pa.array(mask))
+        m = pa.compute.equal(t.column("okey"), t.column("okey_min"))
+        return t.filter(m).select(keep_cols)
 
+    import ray as _ray
+
+    # join partitions sized to the cluster: each hash-shuffle partition is
+    # an aggregator slot, and oversubscribing a small node's CPUs deadlocks
+    n_part = max(2, min(64, int(_ray.available_resources().get("CPU", 4))))
+    winners = keyed.join(
+        mins, join_type="inner", num_partitions=n_part, on=("hash_i64",)
+    ).map_batches(keep_winners, batch_format="pyarrow")
     parts = [
-        b for b in keyed.map_batches(keep_winners, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+        b for b in winners.iter_batches(batch_size=None, batch_format="pyarrow")
     ]
     if not parts:
         return dedup_candidates(

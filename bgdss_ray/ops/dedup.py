@@ -148,98 +148,146 @@ class MinHasher:
         )
 
 
+_MIX = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 finalizer constant
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix_columns(seed_vec: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit mix of a (n, r) uint64 matrix into one uint64 per
+    row (murmur-style xor-multiply-shift fold) — replaces per-row blake2b."""
+    h = seed_vec.copy()
+    with np.errstate(over="ignore"):
+        for c in range(cols.shape[1]):
+            h = (h ^ cols[:, c]) * _MIX
+            h ^= h >> np.uint64(33)
+    return h
+
+
 def band_explode(n_bands: int, rows_per_band: int):
-    """Stage factory: signature rows → (band_id, band_hash, id) rows."""
+    """Stage factory: signature rows → (id, bucket) rows; ``bucket`` is one
+    int64 LSH key with the band index mixed in (single shuffle key — a
+    cross-band key collision only creates a harmless extra candidate that
+    exact verification discards)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         id_name = batch.schema.names[0]
-        ids = batch.column(id_name).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_name)
         sigs = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
-        out_id, out_band, out_hash = [], [], []
+        n = len(sigs)
+        out_hash = np.empty((n_bands, n), dtype=np.uint64)
         for b in range(n_bands):
             seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-            # hash each row segment to one uint64 bucket key
-            bh = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.tobytes(), digest_size=8).digest(), "big"
-                    )
-                    for s in seg
-                ),
-                dtype=np.uint64,
-                count=len(seg),
-            )
-            out_id.append(ids)
-            out_band.append(np.full(len(ids), b, dtype=np.int32))
-            out_hash.append(bh)
+            seed = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                seed *= _GOLD
+            out_hash[b] = _mix_columns(seed, seg)
+        id_tiled = pa.concat_arrays(
+            [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids]
+            * n_bands
+        )
         return pa.Table.from_arrays(
-            [
-                pa.array(np.concatenate(out_id)),
-                pa.array(np.concatenate(out_band)),
-                pa.array(np.concatenate(out_hash), type=pa.uint64()),
-            ],
-            names=[id_name, "band_id", "band_hash"],
+            [id_tiled, pa.array(out_hash.reshape(-1).view(np.int64))],
+            names=[id_name, "bucket"],
         )
 
     return fn
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """All id pairs within one LSH bucket (bucket sizes are small by
-    construction; a hot bucket means near-identical content)."""
-    id_name = g.columns[0]
+# cap beyond which a bucket pairs members against its min-id representative
+# instead of all-pairs (O(n) pairs still connects the cluster — a hot bucket
+# IS one near-identical cluster; never silently dropped)
+HOT_BUCKET_CAP = 200
+
+
+def _pairs_in_group(g: pd.DataFrame, id_name: str, cap: int = HOT_BUCKET_CAP
+                    ) -> pd.DataFrame:
+    """Candidate id pairs within one LSH bucket (runs inside map_groups)."""
     ids = np.sort(g[id_name].to_numpy())
-    if len(ids) < 2 or len(ids) > 200:  # hot-bucket guard: cap pair blowup
+    if len(ids) < 2:
         return pd.DataFrame({"id_a": [], "id_b": []})
+    if len(ids) > cap:
+        # star pairing against the min-id representative: linear pair count,
+        # connected components still merge the whole cluster
+        return pd.DataFrame({"id_a": np.repeat(ids[0], len(ids) - 1),
+                             "id_b": ids[1:]})
     ia, ib = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
 
-def minhash_lsh_candidates(ds, n_perm=128, n_bands=16, seed=7, shingle_k=3):
-    """(id, text) dataset → unique candidate pair DataFrame (driver-sized).
-
-    Bucket-join strategy: a native Count aggregate finds hot buckets
-    (|bucket| > 1) — C-speed, no per-group Python — then only rows in hot
-    buckets are pulled (broadcast key-set filter inside map_batches) and
-    paired locally. The collected set is O(near-duplicates), not O(corpus):
-    at 10^10 docs the counts shuffle is the only wide op.
-    """
+def hot_bucket_keys(banded, bucket_col: str = "bucket") -> np.ndarray:
+    """Distributed hot-bucket detection: Count aggregate over the slim
+    bucket column, filter |bucket| > 1 INSIDE the dataset — only the hot
+    keys (O(duplicate clusters), not O(corpus)) reach the driver."""
     from ray.data.aggregate import Count
 
-    rows_per_band = n_perm // n_bands
-    sig_ds = ds.map_batches(
-        MinHasher(n_perm, seed, shingle_k), batch_format="pyarrow", batch_size=1024
-    )
-    banded = sig_ds.map_batches(
-        band_explode(n_bands, rows_per_band), batch_format="pyarrow"
-    ).materialize()  # reused by counts + filter passes
     counts = (
-        banded.groupby(["band_id", "band_hash"])
+        banded.select_columns([bucket_col])
+        .groupby(bucket_col)
         .aggregate(Count(alias_name="n"))
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("n"), 1)).select(
+            [bucket_col]
+        ),
+        batch_format="pyarrow",
+    )
+    parts = [
+        b.column(bucket_col).to_numpy(zero_copy_only=False)
+        for b in hot.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+
+def bucket_pairs_distributed(banded, hot_keys: np.ndarray, id_col: str,
+                             pair_fn=None) -> pd.DataFrame:
+    """Semi-join banded rows against the broadcast hot-key set, then pair
+    members inside ``groupby(bucket).map_groups`` — pair generation happens
+    on workers; only pairs (O(near-dups)) are collected."""
+    import ray
+
+    ref = ray.put(np.sort(hot_keys))
+    fn = pair_fn or (lambda g: _pairs_in_group(g, id_col))
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, b)
+        pos[pos == len(keys)] = 0
+        return t.filter(pa.array(keys[pos] == b))
+
+    pairs = (
+        banded.map_batches(pick, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fn, batch_format="pandas")
         .to_pandas()
     )
-    hot = counts[counts["n"] > 1]
-    if hot.empty:
-        return pd.DataFrame({"id_a": [], "id_b": []})
-    hot_keys = set(zip(hot["band_id"].tolist(), hot["band_hash"].tolist()))
-
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        mask = [
-            (b, h) in hot_keys
-            for b, h in zip(df["band_id"].tolist(), df["band_hash"].tolist())
-        ]
-        return df[np.asarray(mask, dtype=bool)]
-
-    members = banded.map_batches(pick, batch_format="pandas").to_pandas()
-    frames = [
-        _bucket_pairs(g) for _key, g in members.groupby(["band_id", "band_hash"])
-    ]
-    pairs = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-        {"id_a": [], "id_b": []}
-    )
     if pairs.empty:
-        return pairs
-    return pairs.drop_duplicates().reset_index(drop=True)
+        return pd.DataFrame({c: [] for c in pairs.columns})
+    return pairs.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def minhash_lsh_candidates(ds, n_perm=128, n_bands=16, seed=7, shingle_k=3):
+    """(id, text) dataset → unique candidate pair DataFrame (O(near-dups)).
+
+    Fully distributed: signatures + banding are one map pass; hot buckets
+    come from a Count aggregate filtered dataset-side; members are
+    semi-joined against the broadcast hot-key set and paired inside
+    ``groupby(bucket).map_groups``. Nothing O(corpus) touches the driver.
+    """
+    rows_per_band = n_perm // n_bands
+    id_col = ds.schema().names[0]
+    banded = (
+        ds.map_batches(
+            MinHasher(n_perm, seed, shingle_k),
+            batch_format="pyarrow", batch_size=1024,
+        )
+        .map_batches(band_explode(n_bands, rows_per_band), batch_format="pyarrow")
+        .materialize()  # reused by the counts + member passes
+    )
+    hot = hot_bucket_keys(banded)
+    if not hot.size:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return bucket_pairs_distributed(banded, hot, id_col)
 
 
 def verify_jaccard_pairs(pairs: pd.DataFrame, texts: dict, threshold: float,
@@ -307,6 +355,110 @@ def label_propagation_components(pairs: pd.DataFrame, max_iter: int = 50) -> dic
     return label.to_dict()
 
 
+_NO_DST = np.int64(-1)          # tag: this row is a label row, not an edge
+_LABEL_INF = np.int64(1) << 62  # edge rows carry +inf-ish label (never wins Min)
+
+
+def label_propagation_components_ds(pairs: pd.DataFrame, max_iter: int = 50
+                                    ) -> dict:
+    """Distributed min-label propagation ON Datasets: each round co-keys the
+    label table with the edge list (one groupby), emits each node's label to
+    its neighbors inside ``map_groups``, and folds messages with a
+    groupby-Min. Labels and edges never materialize on the driver until the
+    final (O(nodes-in-components)) label table is collected. Identical
+    output to ``union_find_components`` (parity-tested).
+
+    Deliberately join-free: in this Ray version the hash-join finalize
+    breaks on the schema-less empty blocks that hash aggregates emit for
+    empty partitions; groupby machinery tolerates them. Numeric ids only
+    (sentinel labels + the Sum convergence scalar).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    if pairs.empty:
+        return {}
+    edges_df = pd.concat(
+        [
+            pairs.rename(columns={"id_a": "src", "id_b": "dst"})[["src", "dst"]],
+            pairs.rename(columns={"id_b": "src", "id_a": "dst"})[["src", "dst"]],
+        ],
+        ignore_index=True,
+    ).astype(np.int64)
+    edges_tagged = rd.from_arrow(
+        pa.Table.from_pandas(
+            edges_df.assign(label=_LABEL_INF)[["src", "dst", "label"]],
+            preserve_index=False,
+        )
+    ).materialize()
+
+    # initial label of every node = itself (every node appears as a src
+    # because edges are bidirectional)
+    labels = (
+        edges_tagged.select_columns(["src"])
+        .groupby("src")
+        .aggregate(Min("src", alias_name="label"))
+        .materialize()
+    )
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        # one label row (dst == _NO_DST, true label) + this node's out-edges:
+        # message the label to every neighbor, and to the node itself
+        lbl = np.int64(g["label"].min())
+        dsts = g.loc[g["dst"] != _NO_DST, "dst"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"src": np.append(dsts, np.int64(g["src"].iloc[0])),
+             "label": lbl}
+        )
+
+    prev_sum = None
+    for _ in range(max_iter):
+        ltag = labels.map_batches(
+            lambda t: t.append_column(
+                "dst", pa.array(np.full(t.num_rows, _NO_DST))
+            ).select(["src", "dst", "label"]),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            edges_tagged.union(ltag)
+            .groupby("src")
+            .map_groups(send, batch_format="pandas")
+            .groupby("src")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # convergence via a scalar: min-label propagation is monotone
+        # non-increasing, so the label sum is a fixpoint detector — one
+        # tiny aggregate instead of a full self-join per round
+        s = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
+        labels = new_labels
+        if s == prev_sum:
+            break
+        prev_sum = s
+    out = labels.to_pandas()
+    return dict(zip(out["src"].astype(np.int64), out["label"].astype(np.int64)))
+
+
+# pairs above this size run components distributed (Dataset joins); below,
+# driver union-find (the verified-pair set is bounded by true near-dups,
+# so the driver path covers all but pathological corpora)
+DISTRIBUTED_CC_THRESHOLD = 2_000_000
+
+
+def connected_components(pairs: pd.DataFrame,
+                         distributed_threshold: int = DISTRIBUTED_CC_THRESHOLD
+                         ) -> dict:
+    """id → component representative (min id); picks the execution path by
+    pair count. Both paths produce identical maps (tested). The distributed
+    path needs numeric ids (its convergence aggregate sums labels) — string
+    ids stay on union-find (hash them upstream for cluster-scale corpora)."""
+    if len(pairs) > distributed_threshold and pd.api.types.is_numeric_dtype(
+        pairs["id_a"]
+    ):
+        return label_propagation_components_ds(pairs)
+    return union_find_components(pairs)
+
+
 # ---------------------------------------------------------------- simhash
 class SimHasher:
     """64-bit simhash over token hashes; map_batches stage."""
@@ -343,35 +495,66 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
+def _simhash_band_explode(batch: pa.Table) -> pa.Table:
+    """(id, simhash) rows → 4 banded rows each: bucket = band<<16 | key16.
+    The simhash rides along so hamming verification happens in-group."""
+    id_name = batch.schema.names[0]
+    h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(h)
+    ids = batch.column(id_name)
+    id_arr = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    buckets = np.empty((4, n), dtype=np.int64)
+    for band in range(4):
+        key = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        buckets[band] = (np.int64(band) << np.int64(16)) | key.astype(np.int64)
+    return pa.Table.from_arrays(
+        [
+            pa.concat_arrays([id_arr] * 4),
+            pa.array(np.tile(h, 4), type=pa.uint64()),
+            pa.array(buckets.reshape(-1)),
+        ],
+        names=[id_name, "simhash", "bucket"],
+    )
+
+
 def simhash_candidates(ds, max_hamming: int = 3, seed: int = 11) -> pd.DataFrame:
     """Band the 64-bit simhash into 4x16-bit keys (any pair within hamming
     <= 3 shares at least one 16-bit band by pigeonhole when bits spread),
-    bucket-join, then exact hamming verify."""
-    sh_ds = ds.map_batches(SimHasher(seed), batch_format="pyarrow", batch_size=2048)
-    sh = sh_ds.to_pandas()
-    id_name = sh.columns[0]
-    h = sh["simhash"].to_numpy(dtype=np.uint64)
-    ids = sh[id_name].to_numpy()
-    frames = []
-    for band in range(4):
-        key = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"id": ids, "key": key})
-        g = df.groupby("key")["id"].apply(list)
-        for members in g[g.str.len() > 1]:
-            m = np.sort(np.asarray(members))
-            if len(m) > 200:
-                continue
-            ia, ib = np.triu_indices(len(m), k=1)
-            frames.append(pd.DataFrame({"id_a": m[ia], "id_b": m[ib]}))
-    if not frames:
+    bucket-join, exact hamming verify — all distributed: banding is a map
+    pass, hot buckets come from a filtered Count aggregate, and both pair
+    generation AND the hamming verify run inside ``map_groups`` (each row
+    carries its simhash). Only verified pairs reach the driver."""
+    id_col = ds.schema().names[0]
+    banded = (
+        ds.map_batches(SimHasher(seed), batch_format="pyarrow", batch_size=2048)
+        .map_batches(_simhash_band_explode, batch_format="pyarrow")
+        .materialize()
+    )
+    hot = hot_bucket_keys(banded)
+    if not hot.size:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    pairs = pd.concat(frames).drop_duplicates().reset_index(drop=True)
-    lookup = dict(zip(ids.tolist(), h.tolist()))
-    ha = np.fromiter((lookup[i] for i in pairs["id_a"]), dtype=np.uint64, count=len(pairs))
-    hb = np.fromiter((lookup[i] for i in pairs["id_b"]), dtype=np.uint64, count=len(pairs))
-    d = hamming64(ha, hb)
-    out = pairs.assign(hamming=d)
-    return out[out["hamming"] <= max_hamming].reset_index(drop=True)
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if len(ids) > HOT_BUCKET_CAP:
+            ia = np.zeros(len(ids) - 1, dtype=np.int64)
+            ib = np.arange(1, len(ids), dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(len(ids), k=1)
+        d = hamming64(hs[ia], hs[ib])
+        m = d <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ia[m]], "id_b": ids[ib[m]], "hamming": d[m]}
+        )
+
+    pairs = bucket_pairs_distributed(banded, hot, id_col, pair_fn=verify_group)
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------- embedding LSH
@@ -390,52 +573,62 @@ def embedding_neardup_pairs(
     an exact normalized dot inside each bucket. Scale path: the bucket
     groupby is the only shuffle; plane matrix is broadcast.
     """
-    rng = np.random.RandomState(seed)
-    planes: np.ndarray | None = None
-
     def stage(batch: pa.Table) -> pa.Table:
-        nonlocal planes
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        if planes is None:
-            planes = np.random.RandomState(seed).standard_normal((vecs.shape[1], n_planes))
+        planes = np.random.RandomState(seed).standard_normal(
+            (vecs.shape[1], n_planes)
+        )
         signs = (vecs @ planes) > 0
         key = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
         norm = np.linalg.norm(vecs, axis=1)
         return pa.Table.from_arrays(
             [
                 batch.column(id_col),
-                pa.array(key, type=pa.uint64()),
+                pa.array(key.view(np.int64)),
                 batch.column(vec_col),
                 pa.array(norm),
             ],
             names=[id_col, "bucket", vec_col, "norm"],
         )
 
-    df = ds.map_batches(stage, batch_format="pyarrow", batch_size=4096).to_pandas()
-    frames = []
-    for _key, g in df.groupby("bucket"):
-        if len(g) < 2 or len(g) > 500:
-            continue
+    keyed = ds.map_batches(stage, batch_format="pyarrow", batch_size=4096).materialize()
+    hot = hot_bucket_keys(keyed)
+    if not hot.size:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(g) < 2:
+            return empty
         g = g.sort_values(id_col)
         m = np.asarray(g[vec_col].tolist(), dtype=np.float64)
-        nrm = g["norm"].to_numpy()
-        sims = (m @ m.T) / np.outer(nrm, nrm).clip(min=1e-12)
+        nrm = g["norm"].to_numpy().clip(min=1e-12)
+        ids = g[id_col].to_numpy()
+        if len(g) > 500:
+            # hot bucket = one near-identical cluster: verify against the
+            # min-id representative only (linear work, cluster still found)
+            sims = (m[1:] @ m[0]) / (nrm[1:] * nrm[0])
+            mask = sims >= threshold
+            if not mask.any():
+                return empty
+            return pd.DataFrame(
+                {"id_a": np.repeat(ids[0], int(mask.sum())),
+                 "id_b": ids[1:][mask], "cosine": sims[mask]}
+            )
+        sims = (m @ m.T) / np.outer(nrm, nrm)
         ia, ib = np.triu_indices(len(g), k=1)
         mask = sims[ia, ib] >= threshold
-        if mask.any():
-            ids = g[id_col].to_numpy()
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ids[ia[mask]],
-                        "id_b": ids[ib[mask]],
-                        "cosine": sims[ia, ib][mask],
-                    }
-                )
-            )
-    if not frames:
+        if not mask.any():
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
+             "cosine": sims[ia, ib][mask]}
+        )
+
+    pairs = bucket_pairs_distributed(keyed, hot, id_col, pair_fn=verify_group)
+    if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    return pd.concat(frames).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------ public API
@@ -454,25 +647,32 @@ def _texts_for_ids(ds, wanted: set, id_col: str) -> dict:
 
 
 def near_dedup_minhash(ds, threshold: float = 0.8, n_perm=128, n_bands=16,
-                       seed=7, shingle_k=3, id_col="doc_id") -> pd.DataFrame:
-    """Full minhash near-dedup: returns (id, cluster) keep-map DataFrame —
+                       seed=7, shingle_k=3, id_col="doc_id"):
+    """Full minhash near-dedup: returns an (id, cluster) keep-map Dataset —
     every input id, cluster = min id of its near-dup component.
 
-    Only candidate-pair members' texts ever reach the driver (the verified
-    near-dup set is small by definition); everything else streams.
+    Only candidate pairs + verified-pair members' texts ever reach the
+    driver (bounded by true near-dups); the keep-map itself streams — the
+    component map (O(near-dup members)) is broadcast and applied inside
+    ``map_batches``, never an O(corpus) driver list.
     """
+    import ray
+
     cand = minhash_lsh_candidates(ds, n_perm, n_bands, seed, shingle_k)
-    all_ids = [
-        i for b in ds.select_columns([id_col]).iter_batches(
-            batch_size=65536, batch_format="pandas")
-        for i in b[id_col]
-    ]
+    ids_only = ds.select_columns([id_col])
     if cand.empty:
-        return pd.DataFrame({id_col: all_ids, "cluster": all_ids})
-    wanted = set(cand["id_a"]) | set(cand["id_b"])
-    texts = _texts_for_ids(ds, wanted, id_col)
-    verified = verify_jaccard_pairs(cand, texts, threshold, shingle_k)
-    comp = union_find_components(verified)
-    return pd.DataFrame(
-        {id_col: all_ids, "cluster": [comp.get(i, i) for i in all_ids]}
-    )
+        comp: dict = {}
+    else:
+        wanted = set(cand["id_a"]) | set(cand["id_b"])
+        texts = _texts_for_ids(ds, wanted, id_col)
+        verified = verify_jaccard_pairs(cand, texts, threshold, shingle_k)
+        comp = connected_components(verified)
+    comp_ref = ray.put(comp)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(comp_ref)
+        df = df[[id_col]].copy()
+        df["cluster"] = [m.get(i, i) for i in df[id_col]]
+        return df
+
+    return ids_only.map_batches(attach, batch_format="pandas")

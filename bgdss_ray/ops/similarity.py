@@ -4,9 +4,12 @@
   once (ray.put) and every batch does one numpy matmul against it; per-batch
   partial top-k rows flow into a tiny final top-k combine — the all-data
   shuffle is avoided entirely (nothing moves but k rows per query per batch).
-- ``lsh_topk``: the scale path — random-hyperplane bucketing with multi-probe
-  (flip one bit): candidates only from matching buckets, exact re-rank.
-  Approximate; recall measured against brute force in tests.
+- ``lsh_topk`` / ``ivf_topk``: the approximate paths — random-hyperplane
+  bucketing with multi-probe (flip one bit) / coarse centroid probing.
+  Both follow the same broadcast + per-batch-partial-top-k shape as brute
+  force: candidate matching, exact scoring, and partial top-k run inside
+  one map pass, so vectors never leave the workers and nothing shuffles.
+  Recall measured against brute force in tests.
 
 Deterministic tie-break everywhere: (-score, id).
 """
@@ -79,12 +82,85 @@ def brute_force_topk(
         batch_format="pyarrow",
         batch_size=8192,
     ).to_pandas()
+    return _final_topk(partials, k)
+
+
+def _final_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Combine per-batch partial top-k rows into the global top-k per query
+    (deterministic (-score, id) order, rank 1..k)."""
+    if partials.empty:
+        return pd.DataFrame(columns=["query_id", "id", "score", "rank"])
     out = []
-    for qid, g in partials.groupby("query_id"):
+    for _qid, g in partials.groupby("query_id"):
         g = g.sort_values(["score", "id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
+        out.append(g.assign(rank=np.arange(1, len(g) + 1)))
     return pd.concat(out).reset_index(drop=True)
+
+
+class LshScorer:
+    """map_batches stage for multi-table hyperplane LSH: per batch, compute
+    every row's table keys, match rows whose key hits a query's probe set
+    (exact bucket + 1-bit flips), exact-score the matches, emit per-batch
+    partial top-k. Vectors never leave the worker — only k rows per query
+    per batch move (same shape as BruteForceScorer)."""
+
+    def __init__(self, ref, k: int, id_col: str, vec_col: str):
+        d = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.planes = d["planes"]        # (L, dim, b)
+        self.qids = d["qids"]
+        self.qn = d["qn"]                # (Q, dim) L2-normalized
+        self.probes = d["probes"]        # (Q, L, b+1) uint64 probe keys
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def keys_of(self, m: np.ndarray) -> np.ndarray:
+        n_tables = self.planes.shape[0]
+        n_planes = self.planes.shape[2]
+        out = np.empty((m.shape[0], n_tables), dtype=np.uint64)
+        for t in range(n_tables):
+            signs = (m @ self.planes[t]) > 0
+            out[:, t] = (
+                signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)
+            ).sum(axis=1)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _as_matrix(batch.column(self.vec_col))
+        keys = self.keys_of(m)  # (n, L)
+        norms = np.linalg.norm(m, axis=1).clip(min=1e-12)
+        mn = m / norms[:, None]
+        n_tables = keys.shape[1]
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            match = np.zeros(len(ids), dtype=bool)
+            for t in range(n_tables):
+                match |= np.isin(keys[:, t], self.probes[qi, t])
+            if not match.any():
+                continue
+            sub_ids = ids[match]
+            scores = mn[match] @ self.qn[qi]
+            kk = min(self.k, len(sub_ids))
+            idx = np.lexsort((sub_ids, -scores))[:kk]
+            out_q.append(np.full(kk, qid))
+            out_id.append(sub_ids[idx])
+            out_s.append(scores[idx])
+        if not out_q:
+            return pa.Table.from_arrays(
+                [pa.array(np.empty(0, dtype=np.asarray(self.qids).dtype)),
+                 pa.array(np.empty(0, dtype=ids.dtype)),
+                 pa.array(np.empty(0, dtype=np.float64))],
+                names=["query_id", "id", "score"],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_q)),
+                pa.array(np.concatenate(out_id)),
+                pa.array(np.concatenate(out_s)),
+            ],
+            names=["query_id", "id", "score"],
+        )
 
 
 def lsh_topk(
@@ -98,71 +174,38 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
-    """Approximate top-k: multi-table hyperplane LSH + exact re-rank.
+    """Approximate top-k: multi-table hyperplane LSH, fully distributed.
 
-    L independent tables of b hyperplane bits each; candidates = union over
-    tables of (exact bucket + 1-bit-flip probes). One pass over the data
-    computes all table keys; the per-(table,key) groupby is the only
-    shuffle. Recall grows with L at linear candidate cost — the standard
-    cosine-LSH trade (Indyk-Motwani / Charikar)."""
+    L independent tables of b hyperplane bits each; a row is a candidate
+    for a query when its key in any table lands in that query's probe set
+    (exact bucket + 1-bit flips). Plane matrix and probe sets are broadcast
+    once (ray.put); candidate matching, exact scoring, and partial top-k
+    all happen inside one map pass — no shuffle, no vector ever reaches
+    the driver. Recall grows with L at linear candidate cost (the standard
+    cosine-LSH trade, Indyk-Motwani / Charikar)."""
     d = query_mat.shape[1]
     planes = np.random.RandomState(seed).standard_normal((n_tables, d, n_planes))
-
-    def keys_of(m: np.ndarray) -> np.ndarray:
-        """(n, L) uint64 bucket keys."""
-        out = np.empty((m.shape[0], n_tables), dtype=np.uint64)
-        for t in range(n_tables):
-            signs = (m @ planes[t]) > 0
-            out[:, t] = (
-                signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)
-            ).sum(axis=1)
-        return out
-
-    def stage(batch: pa.Table) -> pa.Table:
-        m = _as_matrix(batch.column(vec_col))
-        keys = keys_of(m)
-        n = len(m)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return pa.Table.from_arrays(
-            [
-                pa.array(np.repeat(ids, n_tables)),
-                pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
-                pa.array(keys.reshape(-1), type=pa.uint64()),
-            ],
-            names=[id_col, "table", "bucket"],
-        )
-
-    # one pass for keys; vectors fetched once for the union candidate set
-    keyed = ds.map_batches(stage, batch_format="pyarrow", batch_size=8192).to_pandas()
-    vecs = ds.map_batches(
-        lambda b: b.select([id_col, vec_col]), batch_format="pyarrow"
-    ).to_pandas().set_index(id_col)[vec_col]
-
     qn = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True).clip(min=1e-12)
-    qkeys = keys_of(qn)
-    by_bucket = keyed.groupby(["table", "bucket"])[id_col].apply(list)
+    # query probe keys: exact bucket + every 1-bit flip, per table
+    qkeys = np.empty((len(query_ids), n_tables), dtype=np.uint64)
+    for t in range(n_tables):
+        signs = (qn @ planes[t]) > 0
+        qkeys[:, t] = (
+            signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)
+        ).sum(axis=1)
+    flips = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+    probes = np.empty((len(query_ids), n_tables, n_planes + 1), dtype=np.uint64)
+    probes[:, :, 0] = qkeys
+    probes[:, :, 1:] = qkeys[:, :, None] ^ flips[None, None, :]
 
-    out = []
-    for qi, qid in enumerate(query_ids):
-        cand_ids: set = set()
-        for t in range(n_tables):
-            qb = int(qkeys[qi, t])
-            for p in [qb] + [qb ^ (1 << b) for b in range(n_planes)]:
-                if (t, p) in by_bucket.index:
-                    cand_ids.update(by_bucket.loc[(t, p)])
-        if not cand_ids:
-            continue
-        cids = np.array(sorted(cand_ids))
-        m = np.asarray(vecs.loc[cids].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1).clip(min=1e-12)
-        score = (m / norms[:, None]) @ qn[qi]
-        g = pd.DataFrame({"query_id": qid, "id": cids, "score": score})
-        g = g.sort_values(["score", "id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    return pd.concat(out).reset_index(drop=True) if out else pd.DataFrame(
-        columns=["query_id", "id", "score", "rank"]
-    )
+    ref = ray.put({"planes": planes, "qids": np.asarray(query_ids),
+                   "qn": qn, "probes": probes})
+    partials = ds.map_batches(
+        LshScorer(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+    ).to_pandas()
+    return _final_topk(partials, k)
 
 
 def ivf_topk(
@@ -177,48 +220,69 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
     """IVF-flat approximate top-k: coarse quantizer = seeded random unit
-    directions (no training pass needed, deterministic); vectors are
-    assigned to their nearest centroid in one broadcast map pass; queries
-    probe the ``n_probe`` nearest centroids and exact-rerank those lists.
-
-    The scale path: the assignment map is the only full pass; per-query
-    work touches ~n * n_probe / n_centroids rows.
+    directions (no training pass needed, deterministic); each batch assigns
+    its rows to centroids and exact-scores only the rows whose centroid a
+    query probes — one broadcast map pass, partial top-k per batch, no
+    shuffle, no vector off-worker. Per-query work touches
+    ~n * n_probe / n_centroids rows.
     """
     d = query_mat.shape[1]
     rng = np.random.RandomState(seed)
     cents = rng.standard_normal((n_centroids, d))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        m = _as_matrix(batch.column(vec_col))
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-        cid = (mn @ cents.T).argmax(axis=1).astype(np.int32)
-        return pa.Table.from_arrays(
-            [batch.column(id_col), pa.array(cid), batch.column(vec_col)],
-            names=[id_col, "centroid", vec_col],
-        )
-
-    df = ds.map_batches(assign, batch_format="pyarrow", batch_size=8192).to_pandas()
-    by_cent = {c: g for c, g in df.groupby("centroid")}
     qn = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True).clip(min=1e-12)
     qprobe = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
 
-    out = []
-    for qi, qid in enumerate(query_ids):
-        cands = [by_cent[c] for c in qprobe[qi] if c in by_cent]
-        if not cands:
-            continue
-        cand = pd.concat(cands)
-        m = np.asarray(cand[vec_col].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1).clip(min=1e-12)
-        score = (m / norms[:, None]) @ qn[qi]
-        g = pd.DataFrame({"query_id": qid, "id": cand[id_col].to_numpy(), "score": score})
-        g = g.sort_values(["score", "id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    return pd.concat(out).reset_index(drop=True) if out else pd.DataFrame(
-        columns=["query_id", "id", "score", "rank"]
-    )
+    ref = ray.put({"cents": cents, "qids": np.asarray(query_ids),
+                   "qn": qn, "qprobe": qprobe})
+
+    class IvfScorer:
+        """Per batch: assign rows to centroids, score each query against
+        rows of its probed centroids only, emit partial top-k. One map
+        pass; vectors stay on workers."""
+
+        def __init__(self):
+            st = ray.get(ref)
+            self.cents = st["cents"]
+            self.qids = st["qids"]
+            self.qn = st["qn"]
+            self.qprobe = st["qprobe"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            m = _as_matrix(batch.column(vec_col))
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+            cid = (mn @ self.cents.T).argmax(axis=1).astype(np.int32)
+            out_q, out_id, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                match = np.isin(cid, self.qprobe[qi])
+                if not match.any():
+                    continue
+                sub_ids = ids[match]
+                scores = mn[match] @ self.qn[qi]
+                kk = min(k, len(sub_ids))
+                idx = np.lexsort((sub_ids, -scores))[:kk]
+                out_q.append(np.full(kk, qid))
+                out_id.append(sub_ids[idx])
+                out_s.append(scores[idx])
+            if not out_q:
+                return pa.Table.from_arrays(
+                    [pa.array(np.empty(0, dtype=self.qids.dtype)),
+                     pa.array(np.empty(0, dtype=ids.dtype)),
+                     pa.array(np.empty(0, dtype=np.float64))],
+                    names=["query_id", "id", "score"],
+                )
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(out_q)),
+                 pa.array(np.concatenate(out_id)),
+                 pa.array(np.concatenate(out_s))],
+                names=["query_id", "id", "score"],
+            )
+
+    partials = ds.map_batches(
+        IvfScorer(), batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    return _final_topk(partials, k)
 
 
 def recall_at_k(approx: pd.DataFrame, exact: pd.DataFrame, k: int) -> float:

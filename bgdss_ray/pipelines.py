@@ -88,21 +88,33 @@ def flagship(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     scored = docs.map_batches(QualityScorer(), batch_format="pandas")
 
-    def slim(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["doc_id", "n_words", "quality_score"]].copy()
-        out["doc_id"] = out["doc_id"].astype(str)
-        return out
+    def slim(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype(str),
+                    "n_words": df["n_words"].astype("int64"),
+                    "quality_score": df["quality_score"].astype(float),
+                }
+            ),
+            preserve_index=False,
+        )
 
-    q = scored.map_batches(slim, batch_format="pandas").to_pandas()
-    qmap_words = dict(zip(q["doc_id"], q["n_words"]))
-    qmap_score = dict(zip(q["doc_id"], q["quality_score"]))
+    # co-keyed one-to-one enrich: a real hash-partitioned Dataset.join on
+    # doc_id — neither side is ever collected to the driver
+    joined = res.join(
+        scored.map_batches(slim, batch_format="pandas"),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("doc_id",),
+    )
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_words"] = df["doc_id"].map(qmap_words).fillna(0).astype("int64")
-        df["quality_score"] = df["doc_id"].map(qmap_score).fillna(0.0)
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_words"] = df["n_words"].fillna(0).astype("int64")
+        df["quality_score"] = df["quality_score"].fillna(0.0).astype(float)
         return df
 
-    return res.map_batches(attach, batch_format="pandas")
+    return joined.map_batches(fill, batch_format="pandas")
 
 
 # ----------------------------------------------------- non-SQL operators
@@ -139,10 +151,38 @@ def dedup_ngram_jaccard_pipeline(sf_dir: str):
 
 
 def dedup_embedding_pipeline(sf_dir: str):
+    """Embedding near-dup over testdata vectors + deterministically planted
+    clones (vec_id+1_000_000, tiny per-id seeded perturbation): the testdata
+    embeddings alone contain no pairs at 0.98, which would make this gate
+    vacuous — planting guarantees a nonzero, checkable answer."""
     from .ops.dedup import embedding_neardup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_neardup_pairs(ds, threshold=0.98)
+
+    def plant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sub = t.filter(pc.less(t["vec_id"], 20))
+        if sub.num_rows == 0:
+            return t
+        ids = sub.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = np.asarray(sub.column("embedding").to_pylist(), dtype=np.float64)
+        clones = np.empty_like(vecs)
+        for i, vid in enumerate(ids):
+            noise = np.random.RandomState(int(vid) + 7).standard_normal(
+                vecs.shape[1]
+            )
+            clones[i] = vecs[i] + 0.02 * np.linalg.norm(vecs[i]) * noise / np.linalg.norm(noise)
+        clone_t = pa.table(
+            {
+                "vec_id": pa.array(ids + 1_000_000, type=t.schema.field("vec_id").type),
+                "embedding": pa.array(list(clones), type=t.schema.field("embedding").type),
+            }
+        )
+        return pa.concat_tables([t.select(["vec_id", "embedding"]), clone_t])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    out = embedding_neardup_pairs(planted, threshold=0.98)
     if not out.empty:
         out["cosine"] = out["cosine"].round(6)
     return out

@@ -586,6 +586,155 @@ FROM events
 """
 
 
+# --------------------------------------------------------------- q20
+def span_counts(sf_dir: str):
+    """Span-structure counts of the spanify adapter output — the REAL
+    spanify op (parse.spanify_flat_documents) run end-to-end, its span
+    lists counted by kind with Arrow list kernels, against a closed-form
+    DuckDB oracle over the raw text (ceil(words/12) text spans + 1 media)."""
+    from .parse import spanify_flat_documents
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        spanify_flat_documents, batch_format="pyarrow"
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = pc.list_value_length(spans).cast(pa.int64())
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        is_text = pc.equal(
+            pc.struct_field(flat, "kind"), "text"
+        ).to_numpy(zero_copy_only=False)
+        n_text = np.bincount(
+            parent, weights=is_text.astype(np.float64), minlength=t.num_rows
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_spans": n,
+                "n_text": pa.array(n_text),
+                "n_media": pc.subtract(n, pa.array(n_text)),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+SPAN_COUNTS_SQL = r"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(ntext + 1 AS BIGINT) AS n_spans,
+       CAST(ntext AS BIGINT) AS n_text,
+       CAST(1 AS BIGINT) AS n_media
+FROM (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(CEIL(len(regexp_split_to_array(trim(text), '\s+')) / 12.0) AS BIGINT)
+         END AS ntext
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------- q21
+_LANG_WORDS = {
+    "en": "the|and|of|to|a|in|is|that|it|with",
+    "es": "el|la|los|las|de|que|y|en|un|una|es",
+    "fr": "le|la|les|des|et|que|en|un|une|est|du",
+    "de": "der|die|das|und|ist|ein|eine|mit|von|zu",
+    "pt": "o|a|os|as|de|que|e|em|um|uma|é|do|da",
+}
+
+
+def lang_scores(sf_dir: str):
+    """Language-ID (ops.textstats.LangId — the real stopword/charset
+    classifier) promoted to a SQL-paired gate: the oracle reproduces the
+    stopword-count argmax with RE2 word-boundary counts and the classifier's
+    first-language-wins tie-break (dict order en,es,fr,de,pt)."""
+    from .ops.textstats import LangId
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangId(), batch_format="pandas")
+    return out.map_batches(
+        lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas"
+    )
+
+
+LANG_SCORES_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\b({en})\b')) AS en,
+         len(regexp_extract_all(lower(text), '\b({es})\b')) AS es,
+         len(regexp_extract_all(lower(text), '\b({fr})\b')) AS fr,
+         len(regexp_extract_all(lower(text), '\b({de})\b')) AS de,
+         len(regexp_extract_all(lower(text), '\b({pt})\b')) AS pt,
+         regexp_matches(text, '[一-鿿]') AS cjk,
+         trim(text) = '' AS empty
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cjk THEN 'zh'
+            WHEN empty OR (en = 0 AND es = 0 AND fr = 0 AND de = 0 AND pt = 0)
+                 THEN 'unknown'
+            WHEN en >= es AND en >= fr AND en >= de AND en >= pt THEN 'en'
+            WHEN es >= fr AND es >= de AND es >= pt THEN 'es'
+            WHEN fr >= de AND fr >= pt THEN 'fr'
+            WHEN de >= pt THEN 'de'
+            ELSE 'pt'
+       END AS lang_pred
+FROM s
+""".format(**_LANG_WORDS)
+
+
+# --------------------------------------------------------------- q22
+def quality_counts(sf_dir: str):
+    """QualityScorer's raw signals as exact integer counts per doc —
+    vectorized pandas str.count kernels vs RE2 counts in DuckDB (text is
+    ASCII, so \\w classes agree)."""
+    from .ops.textstats import _PUNCT, _STOPWORDS, _WORD
+
+    stop_alt = "|".join(sorted(frozenset().union(*_STOPWORDS.values())))
+    stop_re = rf"\b({stop_alt})\b"
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": t.str.len().astype("int64"),
+                "n_words": t.str.count(_WORD).astype("int64"),
+                "n_punct": t.str.count(_PUNCT).astype("int64"),
+                "n_digits": t.str.count(r"\d").astype("int64"),
+                "n_upper": t.str.count(r"[A-Z]").astype("int64"),
+                "n_stop": t.str.lower().str.count(stop_re).astype("int64"),
+            }
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        sig, batch_format="pandas"
+    )
+
+
+def _stop_alternation() -> str:
+    from .ops.textstats import _STOPWORDS
+
+    return "|".join(sorted(frozenset().union(*_STOPWORDS.values())))
+
+
+QUALITY_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '\d')) AS BIGINT) AS n_digits,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CAST(len(regexp_extract_all(lower(text), '\b(__STOP__)\b')) AS BIGINT) AS n_stop
+FROM documents
+""".replace("__STOP__", _stop_alternation())
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -606,4 +755,7 @@ SQL_PAIRED = {
     "hash_join_revenue": (hash_join_revenue, HASH_JOIN_REVENUE_SQL),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
     "running_totals": (running_totals, RUNNING_TOTALS_SQL),
+    "span_counts": (span_counts, SPAN_COUNTS_SQL),
+    "lang_scores": (lang_scores, LANG_SCORES_SQL),
+    "quality_counts": (quality_counts, QUALITY_COUNTS_SQL),
 }

@@ -56,7 +56,7 @@ def test_exact_dedup_first_wins(corpus_ds):
 
 
 def test_minhash_finds_neardups_and_not_unique(corpus_ds):
-    keep = near_dedup_minhash(corpus_ds, threshold=0.5)
+    keep = near_dedup_minhash(corpus_ds, threshold=0.5).to_pandas()
     by = dict(zip(keep["doc_id"], keep["cluster"]))
     assert by[100] == by[101] == by[102] == 100
     assert by[200] == by[201] == 200
@@ -81,6 +81,32 @@ def test_union_find_equals_label_propagation():
     lp = label_propagation_components(pairs)
     assert uf == lp
     assert uf[3] == 1 and uf[12] == 10 and uf[21] == 20
+
+
+def test_distributed_components_parity(ray_session):
+    """The Dataset label-propagation path (co-keyed groupby message passing
+    + groupby-min per round) produces the same component map as driver
+    union-find, including a long chain needing several propagation rounds."""
+    from bgdss_ray.ops.dedup import (
+        connected_components,
+        label_propagation_components_ds,
+    )
+
+    pairs = pd.DataFrame(
+        {
+            "id_a": [1, 2, 3, 4, 10, 11, 20, 30, 31],
+            "id_b": [2, 3, 4, 5, 11, 12, 21, 31, 32],
+        }
+    )
+    uf = union_find_components(pairs)
+    ds_map = label_propagation_components_ds(pairs)
+    assert {int(k): int(v) for k, v in ds_map.items()} == uf
+    # dispatcher: forced onto the distributed path
+    assert {
+        int(k): int(v)
+        for k, v in connected_components(pairs, distributed_threshold=0).items()
+    } == uf
+    assert connected_components(pairs) == uf
 
 
 def test_simhash_neardups(corpus_ds):
@@ -111,7 +137,7 @@ def test_minhash_on_testdata_merges_are_genuine(ray_session):
     cluster representatives are always the min doc_id."""
     ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
                          columns=["doc_id", "text"])
-    keep = near_dedup_minhash(ds, threshold=0.8)
+    keep = near_dedup_minhash(ds, threshold=0.8).to_pandas()
     merged = keep[keep["doc_id"] != keep["cluster"]]
     assert len(merged) > 0, "testdata contains planted near-dups"
     texts = ds.to_pandas().set_index("doc_id")["text"]
