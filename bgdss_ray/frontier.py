@@ -359,6 +359,7 @@ def seeds_to_candidates(seed_rows: list[dict], robots=None) -> pa.Table:
             pa.array(hosts, type=pa.string()),
             pa.array(is_pdf),
             pa.array(blocked),
+            pa.array(url_hash64(urls), type=pa.uint64()),
         ],
-        names=CANDIDATE_COLUMNS + ["host", "is_pdf", "blocked"],
+        names=CANDIDATE_COLUMNS + ["host", "is_pdf", "blocked", "url_hash"],
     )

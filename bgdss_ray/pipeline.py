@@ -41,7 +41,6 @@ import ray.data as rd
 from .checkpoint import CrawlCheckpoint
 from .config import CrawlConfig, DEFAULT_CRAWL
 from .frontier import (
-    admit_wave,
     dedup_candidates,
     dedup_candidates_grouped,
     seeds_to_candidates,
@@ -77,22 +76,6 @@ class CrawlRunResult:
     wall_s: float
 
 
-def _merge_carry(overflow: pa.Table, cand: pa.Table | None) -> pa.Table:
-    """Union the over-budget admitted remainder (preadmitted=True) with the
-    wave's new candidates; first-occurrence-wins dedup keeps the carry-over
-    row on hash collisions (its order key is strictly smaller — an earlier
-    parent rank — exactly the oracle's already-in-queue-wins semantics)."""
-    if cand is None or cand.num_rows == 0:
-        return overflow
-    if "preadmitted" not in cand.schema.names:
-        cand = cand.append_column(
-            "preadmitted", pa.array(np.zeros(cand.num_rows, dtype=bool))
-        )
-    names = [n for n in cand.schema.names if n in overflow.schema.names]
-    merged = pa.concat_tables([overflow.select(names), cand.select(names)])
-    return dedup_candidates(merged)
-
-
 def _ds_to_table(ds) -> pa.Table:
     parts = [b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
     if not parts:
@@ -111,16 +94,26 @@ def crawl(
     fetch_concurrency: int | None = None,
     use_politeness_actors: bool = False,
 ) -> CrawlRunResult:
-    """Run (or resume) the crawl to frontier exhaustion or cfg.max_pages."""
+    """Run (or resume) the crawl to frontier exhaustion or cfg.max_pages.
+
+    BFS hot path = the queue model: the driver holds a FIFO queue of
+    ADMITTED (already seen-marked, oracle "enqueued") rows sorted by order
+    key; each wave fetches the queue head under the page budget, the wave
+    stage pushes discovered candidates hash-routed to K admission shard
+    actors, and the shards — in parallel — dedup, gate, seen-mark, and
+    return their admitted slices, which the driver merges back into the
+    queue. O(candidate) work never touches the driver; ``use_seen_actors``
+    is accepted for compatibility (admission shards ARE actors).
+    """
+    from .admission import ShardedAdmission
     from .robots import RobotsIndex
 
     t0 = time.perf_counter()
     web = SynthWeb(web_cfg)
     robots = RobotsIndex(web.robots_body) if cfg.respect_robots else None
     ckpt = CrawlCheckpoint(out_dir)
-    seen = ShardedSeenSet(
-        n_shards=cfg.seen_shards, mode=seen_mode, use_actors=use_seen_actors
-    )
+    adm = ShardedAdmission(cfg.seen_shards, seen_mode, cfg.max_depth)
+    run_token = os.urandom(8).hex()  # isolates per-worker stage caches
     sched = ShardedPoliteness(
         cfg.politeness, n_shards=cfg.seen_shards, use_actors=use_politeness_actors
     )
@@ -129,6 +122,7 @@ def crawl(
     docs_emitted = 0
     wave_no = 0
     concurrency = fetch_concurrency or cfg.fetch_concurrency
+    pending_hashes = np.empty(0, dtype=np.uint64)  # seed marks → delta 0
 
     manifest = ckpt.load_manifest() if resume else None
     if manifest is not None:
@@ -138,53 +132,96 @@ def crawl(
         sched.load_state(manifest["host_state"])
         seen_hashes = ckpt.load_seen_upto(manifest["completed_wave"])
         if len(seen_hashes):
-            seen.check_and_add(seen_hashes)
-        candidates = ckpt.load_frontier_next(manifest["completed_wave"])
-        if candidates is None or candidates.num_rows == 0:
-            return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
-        wave, new_hashes, overflow = _admit_precomputed(
-            candidates, seen, sched, next_rank, cfg, web,
-            budget_left=cfg.max_pages - pages_fetched, robots=robots,
-        )
+            adm.load_seen(seen_hashes)
+        queue = ckpt.load_frontier_next(manifest["completed_wave"])
+        if queue is None:
+            queue = None
     else:
         os.makedirs(out_dir, exist_ok=True)
         seed_rows = seeds if seeds is not None else web.seeds()
-        cand = dedup_candidates(seeds_to_candidates(seed_rows, robots=robots))
-        wave, new_hashes, overflow = admit_wave(
-            cand, seen, sched, next_rank,
-            cfg.max_pages - pages_fetched, web, cfg, robots=robots,
+        cand = seeds_to_candidates(seed_rows, robots=robots)
+        cand = cand.append_column(
+            "preadmitted", pa.array(np.zeros(cand.num_rows, dtype=bool))
         )
+        adm.route_add(cand)
+        queue, pending_hashes, _ = adm.admit_all()
 
     profile = bool(os.environ.get("BGDSS_PROFILE"))
 
-    while wave.num_rows > 0:
+    while queue is not None and queue.num_rows > 0:
+        budget_left = cfg.max_pages - pages_fetched
+        if budget_left <= 0:
+            break
         wt0 = time.perf_counter()
-        n_wave = wave.num_rows
-        next_rank += n_wave
+        n_wave = min(queue.num_rows, budget_left)
+        sel = queue.slice(0, n_wave)
+        rest = queue.slice(n_wave)
 
-        n_docs, n_err, cand = _execute_wave(
-            wave, web_cfg, cfg, concurrency, ckpt, wave_no, profile, wt0
+        hosts = sel.column("host").to_pylist()
+        kinds = sel.column("is_pdf").to_numpy(zero_copy_only=False).tolist()
+        delays = None
+        if robots is not None:
+            delays = {
+                h: robots.crawl_delay(h)
+                for h in set(hosts)
+                if robots.crawl_delay(h) is not None
+            }
+        vtimes = sched.assign(hosts, kinds, delays)
+        wave = pa.Table.from_arrays(
+            [
+                sel.column("url"),
+                sel.column("url_hash").cast(pa.uint64()),
+                sel.column("host"),
+                sel.column("depth").cast(pa.int32()),
+                pa.array(np.arange(next_rank, next_rank + n_wave, dtype=np.int64)),
+                pa.array(np.asarray(vtimes, dtype=np.float64)),
+            ],
+            names=["url", "url_hash", "host", "depth", "crawl_seq", "vtime"],
         )
-        if overflow is not None and overflow.num_rows:
-            # budget-truncated admission: the already-enqueued remainder
-            # carries into the next frontier so a resume with a larger
-            # budget fetches it (oracle queue semantics)
-            cand = _merge_carry(overflow, cand)
+        next_rank += n_wave
+        t_adm = time.perf_counter()
 
-        # --- bookkeeping / checkpoint ---------------------------------
+        n_docs, n_err, _ = _execute_wave(
+            wave, web_cfg, cfg, concurrency, ckpt, wave_no, profile, wt0,
+            shards=adm.handles(), run_token=run_token,
+        )
         pages_fetched += n_wave
         docs_emitted += n_docs
-        # checkpoint writes overlap the driver's remaining wave work; the
-        # manifest commit below joins first, so atomicity is unchanged
+
+        t_a0 = time.perf_counter()
+        admitted, new_hashes, n_cand = adm.admit_all()
+        if rest.num_rows:
+            # oracle FIFO: budget carry-over precedes newly discovered rows
+            # (its okeys are strictly smaller — earlier parents)
+            queue = (
+                pa.concat_tables([rest, admitted]).combine_chunks()
+                if admitted.num_rows else rest
+            )
+        else:
+            queue = admitted
+        if profile:
+            print(f"[admit wave {wave_no}] n_cand={n_cand} "
+                  f"admitted={admitted.num_rows} "
+                  f"admit={time.perf_counter() - t_a0:.2f} "
+                  f"sched={t_adm - wt0:.2f}", flush=True)
+
+        # --- checkpoint -----------------------------------------------
+        # writes overlap the driver's remaining wave work; the manifest
+        # commit below joins first, so atomicity is unchanged
         import threading
 
+        delta = (
+            np.concatenate([pending_hashes, new_hashes])
+            if len(pending_hashes) else new_hashes
+        )
+        pending_hashes = np.empty(0, dtype=np.uint64)
         werr: list[BaseException] = []
 
-        def _writes(w=wave_no, nh=new_hashes, c=cand):
+        def _writes(w=wave_no, nh=delta, q=queue):
             try:
                 ckpt.write_seen_delta(w, nh)
-                if c is not None and c.num_rows:
-                    ckpt.write_frontier_next(w, c)
+                if q.num_rows:
+                    ckpt.write_frontier_next(w, q)
             except BaseException as e:  # re-raised after join, before commit
                 werr.append(e)
 
@@ -194,7 +231,7 @@ def crawl(
         _write_metrics(
             ckpt, wave_no, n_wave, n_err, n_docs,
             n_new=len(new_hashes),
-            n_dup=(cand.num_rows if cand is not None else 0),
+            n_dup=max(0, n_cand - int(len(new_hashes))),
             wall=wall,
         )
         wr.join()
@@ -205,27 +242,21 @@ def crawl(
         ckpt.commit_wave(wave_no, next_rank, pages_fetched, sched)
         wave_no += 1
 
-        budget_left = cfg.max_pages - pages_fetched
-        if cand is None or cand.num_rows == 0 or budget_left <= 0:
-            break
-        t_adm0 = time.perf_counter()
-        wave, new_hashes, overflow = _admit_precomputed(
-            cand, seen, sched, next_rank, cfg, web, budget_left,
-            robots=robots,
-        )
-        if profile:
-            print(f"[admit after wave {wave_no - 1}] n_cand={cand.num_rows} "
-                  f"admit={time.perf_counter() - t_adm0:.2f}", flush=True)
-
-    return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
+    return _finish(ckpt, out_dir, wave_no, pages_fetched, adm, docs_emitted, t0)
 
 
 def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,
-                  profile=False, wt0=None):
+                  profile=False, wt0=None, shards=None, run_token=None):
     """ONE heavy Ray execution over a ranked+scheduled wave: fetch + parse +
     link-extract + documents/crawl-log parquet writes inside the stage.
-    Bodies and spans never reach the driver; returns (n_docs, n_err,
-    deduped candidate table).
+    Bodies and spans never reach the driver.
+
+    With ``shards`` (BFS hot path): exploded candidates are pushed
+    hash-routed to the admission shard actors from inside the stage and the
+    driver collects only per-batch COUNT rows — returns (n_docs, n_err,
+    None). Without shards (priority mode): candidate links return to the
+    driver, are exploded + first-occurrence-deduped, and returned as a
+    table.
 
     Blocks are zero-copy slices of the wave table (no repartition
     execution); >=2048 rows per block keeps per-task overhead <5%.
@@ -254,7 +285,7 @@ def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,
     if n_wave >= ACTOR_POOL_WAVE_THRESHOLD:
         processed = ds.map_batches(
             WaveStage,
-            fn_constructor_args=(web_cfg, cfg, docs_dir, log_dir),
+            fn_constructor_args=(web_cfg, cfg, docs_dir, log_dir, shards),
             batch_format="pyarrow",
             batch_size=None,
             concurrency=concurrency,
@@ -263,13 +294,23 @@ def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,
     else:
         processed = ds.map_batches(
             partial(wave_stage_batch, web_cfg=web_cfg, cfg=cfg,
-                    docs_dir=docs_dir, log_dir=log_dir),
+                    docs_dir=docs_dir, log_dir=log_dir, shards=shards,
+                    run_token=run_token),
             batch_format="pyarrow",
             batch_size=None,
         )
-    log_links = _ds_to_table(processed)
+    out = _ds_to_table(processed)
     t_map = _t()
 
+    if shards is not None:
+        n_docs = int(pa.compute.sum(out.column("n_docs")).as_py() or 0)
+        n_err = int(pa.compute.sum(out.column("n_err")).as_py() or 0)
+        if profile:
+            print(f"[wave {wave_no}] n={n_wave} prep={t_prep - wt0:.2f} "
+                  f"map={t_map - t_prep:.2f}", flush=True)
+        return n_docs, n_err, None
+
+    log_links = out
     n_docs = int(pa.compute.sum(log_links.column("has_doc")).as_py() or 0)
     n_err = int(
         pa.compute.sum(
@@ -296,16 +337,6 @@ def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,
             flush=True,
         )
     return n_docs, n_err, cand
-
-
-def _admit_precomputed(candidates, seen, sched, next_rank, cfg, web,
-                       budget_left: int | None = None, robots=None):
-    if budget_left is None:
-        budget_left = cfg.max_pages
-    return admit_wave(
-        candidates, seen, sched, next_rank, budget_left, web, cfg,
-        robots=robots,
-    )
 
 
 def crawl_priority(
@@ -494,11 +525,13 @@ def _write_metrics(ckpt, wave_no, n_wave, n_err, n_docs, n_new, n_dup, wall):
 
 
 def _finish(ckpt, out_dir, waves, pages, seen, docs, t0) -> CrawlRunResult:
+    # ``seen`` is a ShardedAdmission (BFS) or a ShardedSeenSet (priority)
+    size = seen.seen_size() if hasattr(seen, "seen_size") else seen.size()
     return CrawlRunResult(
         out_dir=out_dir,
         waves=waves,
         pages_fetched=pages,
-        seen_size=seen.size(),
+        seen_size=size,
         docs_emitted=docs,
         wall_s=time.perf_counter() - t0,
     )

@@ -45,7 +45,8 @@ class WaveStage:
     """
 
     def __init__(self, web_cfg: SynthWebConfig, cfg: CrawlConfig,
-                 docs_dir: str | None = None, log_dir: str | None = None):
+                 docs_dir: str | None = None, log_dir: str | None = None,
+                 shards: list | None = None):
         from .robots import RobotsIndex
         from .synth import SynthWeb
 
@@ -53,6 +54,10 @@ class WaveStage:
         self.parser = SpanParser(cfg.min_pdf_bytes, cfg.pdf_magic)
         self.docs_dir = docs_dir
         self.log_dir = log_dir
+        # admission shard actor handles: when set, candidate links are
+        # pushed straight to the shards (hash-routed) and the stage returns
+        # only per-batch counts — candidates never flow through the driver
+        self.shards = shards
         # robots rules are a pure function of host (web.robots_body), so
         # every worker evaluates Disallow flags locally — the driver never
         # touches per-URL robots work
@@ -107,6 +112,55 @@ class WaveStage:
             )
         else:
             blocked = np.zeros(len(flat_url), dtype=bool)
+        out = fetched.drop_columns(["body"])
+        if self.log_dir is not None:
+            # crawl-log shard written here too (same idempotent naming);
+            # the driver then only collects the slim control columns
+            self._write_shard(self.log_dir, out, fetched)
+            out = out.select(["crawl_seq", "depth", "status"])
+
+        if self.shards is not None:
+            # shard-push mode: exploded candidate rows go hash-routed to
+            # the admission shard actors; only COUNTS return to the driver
+            import ray as _ray
+
+            from .admission import push_candidates
+
+            off = np.asarray(offsets, dtype=np.int64)
+            counts = np.diff(off)
+            seqs = fetched.column("crawl_seq").to_numpy(zero_copy_only=False)
+            depths = fetched.column("depth").to_numpy(zero_copy_only=False)
+            cand = pa.Table.from_arrays(
+                [
+                    pa.array(flat_url, type=pa.string()),
+                    pa.array(np.repeat(seqs, counts)),
+                    pa.array(np.asarray(flat_pos, dtype=np.int32)),
+                    pa.array((np.repeat(depths, counts) + 1).astype(np.int32)),
+                    pa.array(hashes, type=pa.uint64()),
+                    pa.array(hosts, type=pa.string()),
+                    pa.array(is_pdf),
+                    pa.array(blocked),
+                    pa.array(np.zeros(len(flat_url), dtype=bool)),
+                ],
+                names=["url", "parent_rank", "link_pos", "depth", "url_hash",
+                       "host", "is_pdf", "blocked", "preadmitted"],
+            )
+            # block until delivered: the map task finishing is the driver's
+            # signal that every candidate reached its shard
+            _ray.get(push_candidates(cand, self.shards))
+            n_err = int((statuses != 200).sum())
+            return pa.Table.from_arrays(
+                [
+                    pa.array([len(urls)], type=pa.int64()),
+                    pa.array(
+                        [int(pa.compute.sum(has_doc.cast(pa.int8())).as_py() or 0)],
+                        type=pa.int64(),
+                    ),
+                    pa.array([n_err], type=pa.int64()),
+                ],
+                names=["n_pages", "n_docs", "n_err"],
+            )
+
         link_struct = pa.StructArray.from_arrays(
             [
                 pa.array(flat_url, type=pa.string()),
@@ -121,12 +175,6 @@ class WaveStage:
         links_arr = pa.ListArray.from_arrays(
             pa.array(np.asarray(offsets, dtype=np.int32)), link_struct
         )
-        out = fetched.drop_columns(["body"])
-        if self.log_dir is not None:
-            # crawl-log shard written here too (same idempotent naming);
-            # the driver then only collects the slim control columns
-            self._write_shard(self.log_dir, out, fetched)
-            out = out.select(["crawl_seq", "depth", "status"])
         return out.append_column("has_doc", has_doc).append_column(
             "links", links_arr
         )
@@ -150,12 +198,18 @@ class WaveStage:
 
 
 def wave_stage_batch(batch: pa.Table, *, web_cfg, cfg, docs_dir=None,
-                     log_dir=None) -> pa.Table:
-    """Stateless-task wrapper with per-worker stage cache."""
-    key = (web_cfg, cfg, docs_dir, log_dir)
+                     log_dir=None, shards=None, run_token=None) -> pa.Table:
+    """Stateless-task wrapper with per-worker stage cache.
+
+    ``run_token`` is unique per crawl run: two runs over the same out dir
+    reuse wave dir names, and a cached stage from the earlier run would
+    silently push candidates to that run's (stale) admission shard actors.
+    """
+    key = (web_cfg, cfg, docs_dir, log_dir, run_token)
     st = _STAGE_CACHE.get(key)
     if st is None:
-        st = _STAGE_CACHE[key] = WaveStage(web_cfg, cfg, docs_dir, log_dir)
+        st = _STAGE_CACHE[key] = WaveStage(web_cfg, cfg, docs_dir, log_dir,
+                                           shards)
     return st(batch)
 
 
