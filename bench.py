@@ -47,7 +47,11 @@ def run_crawl(num_cpus: int) -> dict:
     # a sandbox artifact a real per-node object store wouldn't have)
     out = "/dev/shm/bgdss_bench_crawl"
     shutil.rmtree(out, ignore_errors=True)
-    cfg = CrawlConfig(max_depth=3, fetch_concurrency=max(4, num_cpus - 2))
+    # crawl to frontier exhaustion (~1.51M pages): the bigger job keeps the
+    # per-run fixed costs (shard actor spawn, bootstrap) a small fraction,
+    # so the scaling measurement reflects steady-state throughput
+    cfg = CrawlConfig(max_depth=3, fetch_concurrency=max(4, num_cpus - 2),
+                      max_pages=2_000_000)
     t0 = time.perf_counter()
     res = crawl(SynthWebConfig(**BENCH_WEB), out, cfg)
     wall = time.perf_counter() - t0

@@ -50,10 +50,19 @@ class AdmissionShardCore:
         self.seen = _ShardCore(mode=seen_mode, log2_buckets=log2_buckets)
         self.max_depth = max_depth
         self.pending: list[pa.Table] = []
+        self.pending_refs: list[tuple] = []
 
     def add(self, t: pa.Table) -> int:
         self.pending.append(t)
         return t.num_rows
+
+    def add_ref(self, wrapped_ref: list, shard_id: int, n_shards: int) -> int:
+        """Register a SHARED candidate-table object (put to plasma once by
+        the producing task; every shard holds the same ref and slices its
+        own hash partition lazily at admit time — zero-copy reads, no
+        per-shard table copies on the push path)."""
+        self.pending_refs.append((wrapped_ref[0], shard_id, n_shards))
+        return 0
 
     def load_seen(self, hashes: np.ndarray) -> int:
         return self.seen.bulk_add(np.asarray(hashes, dtype=np.uint64))
@@ -66,13 +75,26 @@ class AdmissionShardCore:
 
         Returns (admitted rows sorted by okey — with an ``okey`` column the
         driver merges on, new hashes marked this wave, total candidate rows
-        before dedup).
+        before dedup — ref-shared rows counted by shard 0 only so the
+        driver's sum is the true candidate total).
         """
-        if not self.pending:
-            return _empty_admitted(), np.empty(0, dtype=np.uint64), 0
-        t = pa.concat_tables(self.pending, promote_options="none")
+        parts = list(self.pending)
         self.pending.clear()
-        n_in = t.num_rows
+        n_in = sum(p.num_rows for p in parts)
+        if self.pending_refs:
+            refs = [r for r, _s, _n in self.pending_refs]
+            metas = [(s, n) for _r, s, n in self.pending_refs]
+            self.pending_refs.clear()
+            for full, (sid, n_shards) in zip(ray.get(refs), metas):
+                if sid == 0:  # count each shared table once across shards
+                    n_in += full.num_rows
+                h = full.column("url_hash").to_numpy(zero_copy_only=False)
+                mine = (h % np.uint64(n_shards)).astype(np.int64) == sid
+                if mine.any():
+                    parts.append(full.filter(pa.array(mine)))
+        if not parts:
+            return _empty_admitted(), np.empty(0, dtype=np.uint64), n_in
+        t = pa.concat_tables(parts, promote_options="none")
 
         # depth gate FIRST (oracle never marks too-deep children seen),
         # then robots (blocked flags precomputed in the wave stage)
@@ -194,6 +216,19 @@ class ShardedAdmission:
 
     def seen_size(self) -> int:
         return sum(ray.get([s.seen_size.remote() for s in self.shards]))
+
+
+def push_candidates_shared(t: pa.Table, shards: list) -> list:
+    """Producer-side push: put the candidate table to plasma ONCE and hand
+    every shard the same ref (it slices its hash partition at admit time,
+    zero-copy). K tiny RPCs instead of K table copies — this is what keeps
+    wave-stage tasks from stalling on the push path."""
+    if t.num_rows == 0:
+        return []
+    t = t.select(CAND_COLS)
+    ref = ray.put(t)
+    n = len(shards)
+    return [s.add_ref.remote([ref], i, n) for i, s in enumerate(shards)]
 
 
 def push_candidates(t: pa.Table, shards: list) -> list:

@@ -92,7 +92,7 @@ def crawl(
     use_seen_actors: bool = False,
     resume: bool = False,
     fetch_concurrency: int | None = None,
-    use_politeness_actors: bool = False,
+    use_politeness_actors: bool = True,
 ) -> CrawlRunResult:
     """Run (or resume) the crawl to frontier exhaustion or cfg.max_pages.
 
@@ -157,16 +157,16 @@ def crawl(
         sel = queue.slice(0, n_wave)
         rest = queue.slice(n_wave)
 
-        hosts = sel.column("host").to_pylist()
-        kinds = sel.column("is_pdf").to_numpy(zero_copy_only=False).tolist()
+        host_series = sel.column("host").to_pandas()
+        kinds_np = sel.column("is_pdf").to_numpy(zero_copy_only=False)
         delays = None
         if robots is not None:
             delays = {
                 h: robots.crawl_delay(h)
-                for h in set(hosts)
+                for h in host_series.unique()
                 if robots.crawl_delay(h) is not None
             }
-        vtimes = sched.assign(hosts, kinds, delays)
+        vtimes = sched.assign(host_series, kinds_np, delays)
         wave = pa.Table.from_arrays(
             [
                 sel.column("url"),
@@ -174,7 +174,7 @@ def crawl(
                 sel.column("host"),
                 sel.column("depth").cast(pa.int32()),
                 pa.array(np.arange(next_rank, next_rank + n_wave, dtype=np.int64)),
-                pa.array(np.asarray(vtimes, dtype=np.float64)),
+                pa.array(vtimes),
             ],
             names=["url", "url_hash", "host", "depth", "crawl_seq", "vtime"],
         )
@@ -282,7 +282,27 @@ def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,
         for f in _glob.glob(os.path.join(d, "part-*.parquet")):
             os.remove(f)
     t_prep = _t()
-    if n_wave >= ACTOR_POOL_WAVE_THRESHOLD:
+    if shards is not None:
+        # BFS hot path: STATELESS tasks, not an actor pool — Ray reuses
+        # worker processes across executions, so the per-worker stage cache
+        # survives between waves (an actor pool pays ~14 process spawns +
+        # heavy imports per wave). Fractional num_cpus caps concurrency at
+        # `concurrency` tasks so the admission shard actors and driver keep
+        # headroom (full reservation oversubscribes and inflates per-task
+        # wall 3x — measured).
+        import ray as _ray
+
+        total_cpus = float(_ray.cluster_resources().get("CPU", concurrency))
+        task_cpus = max(1.0, total_cpus / max(1, concurrency))
+        processed = ds.map_batches(
+            partial(wave_stage_batch, web_cfg=web_cfg, cfg=cfg,
+                    docs_dir=docs_dir, log_dir=log_dir, shards=shards,
+                    run_token=run_token),
+            batch_format="pyarrow",
+            batch_size=None,
+            num_cpus=task_cpus,
+        )
+    elif n_wave >= ACTOR_POOL_WAVE_THRESHOLD:
         processed = ds.map_batches(
             WaveStage,
             fn_constructor_args=(web_cfg, cfg, docs_dir, log_dir, shards),
@@ -306,8 +326,13 @@ def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,
         n_docs = int(pa.compute.sum(out.column("n_docs")).as_py() or 0)
         n_err = int(pa.compute.sum(out.column("n_err")).as_py() or 0)
         if profile:
+            comp = {
+                c: round(float(pa.compute.sum(out.column(c)).as_py() or 0), 2)
+                for c in ("t_fetch", "t_parse", "t_write", "t_push")
+                if c in out.schema.names
+            }
             print(f"[wave {wave_no}] n={n_wave} prep={t_prep - wt0:.2f} "
-                  f"map={t_map - t_prep:.2f}", flush=True)
+                  f"map={t_map - t_prep:.2f} cpu_s={comp}", flush=True)
         return n_docs, n_err, None
 
     log_links = out
@@ -467,7 +492,7 @@ def crawl_priority(
                 selected.column("host"),
                 selected.column("depth").cast(pa.int32()),
                 pa.array(np.arange(next_rank, next_rank + n_wave, dtype=np.int64)),
-                pa.array(np.asarray(vtimes, dtype=np.float64)),
+                pa.array(vtimes),
             ],
             names=["url", "url_hash", "host", "depth", "crawl_seq", "vtime"],
         )

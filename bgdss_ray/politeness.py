@@ -79,6 +79,30 @@ class _PolitenessShardCore:
                delays: dict[str, float] | None) -> list[float]:
         return assign_vtimes(hosts, kinds, self.state, self.cfg, delays)
 
+    def assign_coded(self, uniques: list[str], codes, kinds,
+                     delays: dict[str, float] | None):
+        """Compact-transport fold: per-row hosts as (small unique list +
+        int codes) instead of a per-row string list — the RPC payload for a
+        1M-row wave drops from ~100 MB of pickled strings to a few MB of
+        numpy. Fold semantics identical to ``assign``."""
+        import numpy as np
+
+        cfg = self.cfg
+        state = self.state
+        out = np.empty(len(codes), dtype=np.float64)
+        # pre-resolve per-unique state + delay once (codes are dense)
+        sts = []
+        dls = []
+        for h in uniques:
+            st = state.get(h)
+            if st is None:
+                st = state[h] = HostState()
+            sts.append(st)
+            dls.append(delays.get(h) if delays else None)
+        for i, (c, k) in enumerate(zip(codes.tolist(), kinds.tolist())):
+            out[i] = next_vtime(sts[c], k, cfg, dls[c])
+        return out
+
     def dump_state(self) -> dict:
         from .checkpoint import host_state_to_json
 
@@ -125,16 +149,24 @@ class ShardedPoliteness:
 
         return int(hash64_one(host) % n)
 
-    def assign(self, hosts: list[str], kinds: list[str],
-               delays: dict[str, float] | None = None) -> list[float]:
+    def assign(self, hosts, kinds, delays: dict[str, float] | None = None):
+        """Assign vtimes for an ordered wave. ``hosts`` may be a python
+        list or a pandas Series; per-host subsequences fold independently,
+        so shards run in parallel (actor mode) with compact coded payloads.
+        Returns a float64 numpy array in row order."""
         import numpy as np
+        import pandas as pd
 
         n_rows = len(hosts)
         if n_rows == 0:
-            return []
-        import pandas as pd
-
-        codes, uniques = pd.factorize(pd.Series(hosts), sort=False)
+            return np.empty(0, dtype=np.float64)
+        codes, uniques = pd.factorize(
+            hosts if isinstance(hosts, pd.Series) else pd.Series(hosts),
+            sort=False,
+        )
+        kinds_arr = np.asarray(kinds, dtype=bool) if not isinstance(
+            kinds, np.ndarray
+        ) else kinds
         shard_of_unique = np.asarray(
             [self.shard_of_host(h, self.n) for h in uniques], dtype=np.int64
         )
@@ -146,12 +178,20 @@ class ShardedPoliteness:
             idx = np.nonzero(row_shard == s)[0]
             if not len(idx):
                 continue
-            sub_hosts = [hosts[i] for i in idx]
-            sub_kinds = [kinds[i] for i in idx]
+            # re-code shard rows against the shard's own unique list
+            u_mask = shard_of_unique == s
+            u_ids = np.nonzero(u_mask)[0]
+            remap = np.full(len(uniques), -1, dtype=np.int64)
+            remap[u_ids] = np.arange(len(u_ids))
+            sub_uniques = [uniques[i] for i in u_ids]
+            sub_codes = remap[codes[idx]]
+            sub_kinds = kinds_arr[idx]
             if self.use_actors:
-                calls.append(self.shards[s].assign.remote(sub_hosts, sub_kinds, delays))
+                calls.append(self.shards[s].assign_coded.remote(
+                    sub_uniques, sub_codes, sub_kinds, delays))
             else:
-                calls.append(self.shards[s].assign(sub_hosts, sub_kinds, delays))
+                calls.append(self.shards[s].assign_coded(
+                    sub_uniques, sub_codes, sub_kinds, delays))
             idxs.append(idx)
         if self.use_actors:
             import ray
@@ -161,7 +201,7 @@ class ShardedPoliteness:
             results = calls
         for idx, vt in zip(idxs, results):
             out[idx] = vt
-        return out.tolist()
+        return out
 
     def dump_state(self) -> dict:
         if self.use_actors:

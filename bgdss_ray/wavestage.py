@@ -67,10 +67,14 @@ class WaveStage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
         from .frontier import hosts_and_kinds
         from .urlnorm import url_hash64
 
+        _t0 = _time.perf_counter()
         fetched = self.fetcher(batch)
+        _t_fetch = _time.perf_counter()
         urls = fetched.column("url").to_pylist()
         kinds = fetched.column("kind").to_pylist()
         bodies = fetched.column("body").to_pylist()
@@ -96,8 +100,10 @@ class WaveStage:
             offsets.append(len(flat_url))
         spans_arr = pa.array(spans_col, type=pa.list_(SPAN_STRUCT))
         has_doc = pa.compute.is_valid(spans_arr)
+        _t_parse = _time.perf_counter()
         if self.docs_dir is not None:
             self._write_docs(fetched, spans_arr, has_doc)
+        _t_write = _time.perf_counter()
 
         import pandas as pd
 
@@ -124,7 +130,7 @@ class WaveStage:
             # the admission shard actors; only COUNTS return to the driver
             import ray as _ray
 
-            from .admission import push_candidates
+            from .admission import push_candidates_shared
 
             off = np.asarray(offsets, dtype=np.int64)
             counts = np.diff(off)
@@ -146,8 +152,10 @@ class WaveStage:
                        "host", "is_pdf", "blocked", "preadmitted"],
             )
             # block until delivered: the map task finishing is the driver's
-            # signal that every candidate reached its shard
-            _ray.get(push_candidates(cand, self.shards))
+            # signal that every candidate reached its shard (acks are tiny —
+            # the data itself is one shared plasma object)
+            _ray.get(push_candidates_shared(cand, self.shards))
+            _t_push = _time.perf_counter()
             n_err = int((statuses != 200).sum())
             return pa.Table.from_arrays(
                 [
@@ -157,8 +165,13 @@ class WaveStage:
                         type=pa.int64(),
                     ),
                     pa.array([n_err], type=pa.int64()),
+                    pa.array([_t_fetch - _t0], type=pa.float64()),
+                    pa.array([_t_parse - _t_fetch], type=pa.float64()),
+                    pa.array([_t_write - _t_parse], type=pa.float64()),
+                    pa.array([_t_push - _t_write], type=pa.float64()),
                 ],
-                names=["n_pages", "n_docs", "n_err"],
+                names=["n_pages", "n_docs", "n_err",
+                       "t_fetch", "t_parse", "t_write", "t_push"],
             )
 
         link_struct = pa.StructArray.from_arrays(
