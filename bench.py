@@ -49,8 +49,13 @@ def run_crawl(num_cpus: int) -> dict:
     shutil.rmtree(out, ignore_errors=True)
     # crawl to frontier exhaustion (~1.51M pages): the bigger job keeps the
     # per-run fixed costs (shard actor spawn, bootstrap) a small fraction,
-    # so the scaling measurement reflects steady-state throughput
-    cfg = CrawlConfig(max_depth=3, fetch_concurrency=max(4, num_cpus - 2),
+    # so the scaling measurement reflects steady-state throughput.
+    # fetch concurrency = 3/4 of cores at EVERY level (driver + admission
+    # shards get the same headroom fraction, like dedicated nodes would on
+    # a real cluster) — comparing 4/4 cores vs 14/16 would bake a 12%
+    # structural penalty into the hi level.
+    cfg = CrawlConfig(max_depth=3,
+                      fetch_concurrency=max(3, (num_cpus * 3) // 4),
                       max_pages=2_000_000)
     t0 = time.perf_counter()
     res = crawl(SynthWebConfig(**BENCH_WEB), out, cfg)

@@ -14,7 +14,7 @@ import pyarrow as pa
 
 from .config import CrawlConfig
 from .fetch import FetchStage
-from .parse import SpanParser, links_of, parse_html_spans
+from .parse import SpanParser
 from .schemas import SPAN_STRUCT
 from .synth import SynthWebConfig
 
@@ -69,8 +69,7 @@ class WaveStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time
 
-        from .frontier import hosts_and_kinds
-        from .urlnorm import url_hash64
+        from .urlnorm import canonicalize, url_hash64
 
         _t0 = _time.perf_counter()
         fetched = self.fetcher(batch)
@@ -79,35 +78,92 @@ class WaveStage:
         kinds = fetched.column("kind").to_pylist()
         bodies = fetched.column("body").to_pylist()
         statuses = fetched.column("status").to_numpy(zero_copy_only=False)
-        spans_col: list[list[dict] | None] = []
+        # COLUMNAR span + link accumulation: flat per-span columns with
+        # per-doc offsets (one ListArray build per batch) instead of
+        # per-span python dicts — the dict path was the stage's hottest
+        # CPU (and memory-bandwidth) consumer at 1M+ pages/wave.
+        sk: list[str] = []   # span kind
+        stx: list[str] = []  # span text
+        srf: list[str] = []  # span media_ref
+        sof: list[int] = []  # span offset (match index, oracle parity)
+        doc_ids: list[str] = []
+        doc_offs: list[int] = [0]
+        has_doc = np.zeros(len(urls), dtype=bool)
         # flat child-link arrays + per-row offsets → ListArray (so the
         # hash/host/kind computation is one vectorized pass per batch, not
         # per link — this work would otherwise be serial on the driver)
         flat_url: list[str] = []
         flat_pos: list[int] = []
         offsets: list[int] = [0]
-        for url, kind, body, status in zip(urls, kinds, bodies, statuses):
+        span_re = self.parser.span_re
+        min_pdf = self.parser.min_pdf_bytes
+        magic = self.parser.pdf_magic
+        for ridx, (url, kind, body, status) in enumerate(
+            zip(urls, kinds, bodies, statuses)
+        ):
             if status != 200 or body is None:
-                spans_col.append(None)
                 offsets.append(len(flat_url))
                 continue
-            spans = self.parser.spans_for_row(url, kind, body)
-            spans_col.append(spans)
-            if kind == "listing" and spans is not None:
-                for i, (u, _t) in enumerate(links_of(spans)):
-                    flat_url.append(u)
-                    flat_pos.append(i)
+            if kind == "listing":
+                html = body.decode("utf-8", errors="replace")
+                link_i = 0
+                for i, m in enumerate(span_re.finditer(html)):
+                    if m.group(1) is not None:
+                        sk.append("text")
+                        stx.append(m.group(1))
+                        srf.append("")
+                        sof.append(i)
+                    else:
+                        href, title = m.group(2), m.group(3)
+                        if not href or not title.strip():
+                            continue  # reference skips empty href/text
+                        ref = canonicalize(href, base=url)
+                        sk.append("media")
+                        stx.append(title)
+                        srf.append(ref)
+                        sof.append(i)
+                        flat_url.append(ref)
+                        flat_pos.append(link_i)
+                        link_i += 1
+                has_doc[ridx] = True
+                doc_ids.append(url)
+                doc_offs.append(len(sk))
+            elif kind == "pdf":
+                # PDF validity filter (portal_saude_mg.py:539-561)
+                if len(body) >= min_pdf and body.startswith(magic):
+                    text = body[9:].decode("utf-8", errors="replace")
+                    paras = [p for p in text.split("\n\n") if p.strip()]
+                    sk.extend(["text"] * len(paras))
+                    stx.extend(paras)
+                    srf.extend([""] * len(paras))
+                    sof.extend(range(len(paras)))
+                    has_doc[ridx] = True
+                    doc_ids.append(url)
+                    doc_offs.append(len(sk))
             offsets.append(len(flat_url))
-        spans_arr = pa.array(spans_col, type=pa.list_(SPAN_STRUCT))
-        has_doc = pa.compute.is_valid(spans_arr)
         _t_parse = _time.perf_counter()
-        if self.docs_dir is not None:
-            self._write_docs(fetched, spans_arr, has_doc)
+        if self.docs_dir is not None and doc_ids:
+            span_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(sk, type=pa.string()),
+                    pa.array(stx, type=pa.string()),
+                    pa.array(srf, type=pa.string()),
+                    pa.array(np.asarray(sof, dtype=np.int32)),
+                ],
+                fields=list(SPAN_STRUCT),
+            )
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(np.asarray(doc_offs, dtype=np.int32)), span_struct
+            )
+            seq0 = int(fetched.column("crawl_seq")[0].as_py())
+            self._write_docs(doc_ids, spans_arr, seq0)
         _t_write = _time.perf_counter()
 
         import pandas as pd
 
         from .frontier import robots_allowed_mask
+
+        from .frontier import hosts_and_kinds
 
         hashes = url_hash64(flat_url)
         hosts, link_kinds = hosts_and_kinds(flat_url) if flat_url else ([], [])
@@ -160,10 +216,7 @@ class WaveStage:
             return pa.Table.from_arrays(
                 [
                     pa.array([len(urls)], type=pa.int64()),
-                    pa.array(
-                        [int(pa.compute.sum(has_doc.cast(pa.int8())).as_py() or 0)],
-                        type=pa.int64(),
-                    ),
+                    pa.array([int(has_doc.sum())], type=pa.int64()),
                     pa.array([n_err], type=pa.int64()),
                     pa.array([_t_fetch - _t0], type=pa.float64()),
                     pa.array([_t_parse - _t_fetch], type=pa.float64()),
@@ -188,19 +241,17 @@ class WaveStage:
         links_arr = pa.ListArray.from_arrays(
             pa.array(np.asarray(offsets, dtype=np.int32)), link_struct
         )
-        return out.append_column("has_doc", has_doc).append_column(
+        return out.append_column("has_doc", pa.array(has_doc)).append_column(
             "links", links_arr
         )
 
-    def _write_docs(self, fetched: pa.Table, spans_arr, has_doc) -> None:
+    def _write_docs(self, doc_ids: list[str], spans_arr, seq0: int) -> None:
         import pyarrow.parquet as pq
 
         docs = pa.Table.from_arrays(
-            [fetched.column("url"), spans_arr], names=["doc_id", "spans"]
-        ).filter(has_doc)
-        if docs.num_rows == 0:
-            return
-        seq0 = int(fetched.column("crawl_seq")[0].as_py())
+            [pa.array(doc_ids, type=pa.string()), spans_arr],
+            names=["doc_id", "spans"],
+        )
         pq.write_table(docs, f"{self.docs_dir}/part-{seq0:012d}.parquet")
 
     def _write_shard(self, log_dir: str, out: pa.Table, fetched: pa.Table) -> None:
