@@ -159,18 +159,30 @@ def main() -> dict:
     return out
 
 
-def hardware_ceiling(lo: int, hi: int) -> float:
-    """Measured parallel ceiling of THIS box: pure-python mp.Pool burn at
-    both worker counts. The sandbox VM is SMT-limited and time-shared, so
-    even perfectly parallel python cannot scale hi/lo linearly; the ratio
-    of sustained task throughputs is the honest upper bound any python
-    engine can reach here (a real N- vs 4N-node cluster has no such cap)."""
+def hardware_ceiling(lo: int, hi: int, burn=None) -> float:
+    """Measured parallel ceiling of THIS box: perfectly parallel mp.Pool
+    burns at both worker counts. The sandbox VM is SMT-limited and
+    time-shared, so even embarrassingly parallel python cannot scale hi/lo
+    linearly; the ratio of sustained task throughputs is the honest upper
+    bound any python engine can reach here (a real N- vs 4N-node cluster
+    has no such cap).
+
+    Two burns, because the box has two distinct ceilings:
+    - ``_burn`` (register-only arithmetic): pure-compute ceiling;
+    - ``_burn_alloc`` (string build + join + encode, the same allocation/
+      memory-bandwidth profile as fetch+parse): the ceiling that applies
+      to THIS workload class — single-box memory bandwidth does not grow
+      4x with worker count, while per-node bandwidth on a real cluster
+      does.
+    """
     import multiprocessing as mp
+
+    fn = burn or _burn
 
     def thr(n: int) -> float:
         with mp.Pool(n) as p:
             t0 = time.perf_counter()
-            p.map(_burn, range(n * 4))
+            p.map(fn, range(n * 4))
             return n * 4 / (time.perf_counter() - t0)
 
     return thr(hi) / thr(lo)
@@ -181,6 +193,15 @@ def _burn(_):
     for i in range(20_000_000):
         x += i
     return x
+
+
+def _burn_alloc(seed):
+    out = 0
+    for _ in range(3000):
+        parts = [f"RESOLU {j}/{seed} conteudo {j * seed}" for j in range(40)]
+        s = "\n\n".join(parts).encode()
+        out += len(s) + s.count(b"1")
+    return out
 
 
 def scaling() -> dict:
@@ -210,6 +231,7 @@ def scaling() -> dict:
     thr_hi = r_hi["crawl"]["urls_per_s"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     ceiling = hardware_ceiling(lo, hi) / (hi / lo)
+    ceiling_alloc = hardware_ceiling(lo, hi, burn=_burn_alloc) / (hi / lo)
     return {
         "metric": "crawl throughput scaling (sandbox substitute for N vs 4N nodes)",
         "num_cpus_lo": lo,
@@ -225,7 +247,11 @@ def scaling() -> dict:
         "frontier_ops_per_s_hi": r_hi["crawl"]["frontier_ops_per_s"],
         "scaling_efficiency": round(eff, 3),
         "hardware_ceiling_efficiency": round(ceiling, 3),
+        "hardware_ceiling_allocheavy": round(ceiling_alloc, 3),
         "engine_efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+        "engine_efficiency_vs_allocheavy_ceiling": (
+            round(eff / ceiling_alloc, 3) if ceiling_alloc else None
+        ),
         "sf": SF_DIR,
     }
 
