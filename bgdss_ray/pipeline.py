@@ -1,29 +1,36 @@
 """The crawl pipelines: BFS (reference parity) and priority-frontier modes.
 
-Each wave is ONE Ray Data execution:
+BFS = the queue model. Each wave is ONE Ray Data execution:
 
-    from_arrow(wave slices) → map_batches(WaveStage)
+    from_arrow(wave slices) → map_batches(wave_stage tasks)
         # fetch + span-parse + link-extract + documents/crawl-log parquet
-        # writes all inside the stage; bodies and spans never reach the
-        # driver — only slim control columns + candidate links come back
+        # writes all inside the stage; exploded candidate links are pushed
+        # hash-routed (url_hash % K) to K admission shard actors as ONE
+        # shared plasma object per batch — bodies, spans, and candidates
+        # never reach the driver; only per-batch count rows come back
 
-Candidates carry precomputed url_hash/host/is_pdf/blocked flags (evaluated
-in parallel in the stage), are deduped first-occurrence-wins (numpy path
-for driver-sized waves, ``dedup_candidates_grouped``'s native-aggregate
-shuffle for wider ones), anti-joined against the sharded seen set, ranked
-deterministically from (parent_rank, link_pos), and politeness-scheduled on
-a virtual clock by sharded budget owners — so crawl order, seen set, and
-virtual schedule match the sequential oracles exactly at any parallelism.
+After the map, every admission shard — in parallel — dedups its
+candidates first-occurrence-wins by order key (shard-local dedup IS global
+because equal hashes co-shard), applies the depth/robots gates (flags
+precomputed in the stage), marks new hashes seen (enqueue semantics,
+oracle parity), and returns its admitted slice sorted by order key. The
+driver merges the K sorted slices into its FIFO queue of admitted rows,
+assigns ranks (arange) and politeness vtimes (sharded per-host folds,
+coded payloads), and fetches the queue head under the page budget next
+wave — so crawl order, seen set, and virtual schedule match the
+sequential oracles exactly at any parallelism, with zero O(candidates)
+driver work.
 
-Per-wave outputs are checkpointed (documents/, crawl_log/, seen/, metrics/)
-with idempotent shard filenames and an atomic manifest commit per wave: a
-killed run resumes from the last committed wave — stale partial files from
-the crashed wave are overwritten deterministically (tests/test_crawl.py).
+Per-wave outputs are checkpointed (documents/, crawl_log/, seen/, metrics/,
+frontier_next/ = the queue) with idempotent shard filenames and an atomic
+manifest commit per wave: a killed run resumes from the last committed
+wave — stale partial files from the crashed wave are cleared
+deterministically (tests/test_crawl.py).
 
-Scale notes: the wave table is the bounded unit; fetched bodies never
-accumulate — they stream through parse into parquet within the wave. The
-only driver-held state is O(hosts) politeness fold state + the wave being
-admitted (the priority-mode backlog checkpoints to parquet each wave).
+Scale notes: the wave table and the admitted queue are the bounded units;
+fetched bodies never accumulate — they stream through parse into parquet
+within the wave. Driver-held state is the queue + O(hosts) politeness
+fold state (the priority-mode backlog checkpoints to parquet each wave).
 """
 
 from __future__ import annotations
