@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fingerprints": P.fingerprint_pipeline,
             "multimodal_decode": P.multimodal_pipeline,
             "mds_csv_parse": P.mds_csv_pipeline,
+            "llm_extract": P.llm_extract_pipeline,
         }
     )
     return q

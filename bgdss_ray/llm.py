@@ -224,12 +224,17 @@ class LLMExtractorStage:
 
 def extract_resolutions_llm(docs_ds, transport_factory,
                             url_mapping: dict[str, str] | None = None,
-                            batch_size: int = 64, concurrency: int = 2):
+                            batch_size: int = 64, concurrency: int = 2,
+                            limiter: SlidingWindowRateLimiter | None = None):
     """DOCUMENTS dataset → resolutions via the LLM actor pool (one client +
-    limiter per actor; small batches keep call latency overlapped)."""
+    limiter per actor; small batches keep call latency overlapped).
+    ``limiter`` defaults to the reference's 50 calls / 60 s window — pass
+    an uncapped one for offline/fake transports (the window sleeps for
+    real)."""
     return docs_ds.map_batches(
         LLMExtractorStage,
         fn_constructor_args=(transport_factory, url_mapping),
+        fn_constructor_kwargs={"limiter": limiter},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -117,6 +117,43 @@ def flagship(sf_dir: str):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def _llm_fake_transport_factory():
+    """Deterministic 'perfect model' transport: applies the rule-based
+    field contract to the prompt text and replies with markdown-wrapped
+    JSON — exercises the full LLM actor path (rate limiter, retry shell,
+    JSON-from-markdown parse) with a stable, checkable answer. A real
+    deployment injects an HTTP transport here instead."""
+    import json as _json
+
+    from .extract import extract_one
+
+    def transport(messages):
+        text = messages[-1]["content"]
+        paras = [p for p in text.split("\n\n") if p.strip()]
+        return "```json\n" + _json.dumps(
+            extract_one(text, paras), ensure_ascii=False
+        ) + "\n```"
+
+    return transport
+
+
+def llm_extract_pipeline(sf_dir: str):
+    """Spanified docs → LLM extraction ACTOR pool (client + sliding-window
+    limiter per actor, llm.py) with the deterministic fake transport —
+    the reference's AI extraction flow (openai_client.py + pdf_call.py)
+    as a Ray actor-pool stage."""
+    from .llm import SlidingWindowRateLimiter, extract_resolutions_llm
+
+    spans = spanify_pipeline(sf_dir)
+    return extract_resolutions_llm(
+        spans, _llm_fake_transport_factory, batch_size=128, concurrency=2,
+        # offline fake transport: the reference's 50/60 s window would
+        # sleep for real — uncap it (the limiter path itself is unit-tested
+        # on a virtual clock in tests/test_llm.py)
+        limiter=SlidingWindowRateLimiter(max_calls=1_000_000_000),
+    )
+
+
 # ----------------------------------------------------- non-SQL operators
 def dedup_minhash_pipeline(sf_dir: str):
     from .ops.dedup import near_dedup_minhash

@@ -203,6 +203,28 @@ def test_llm_extractor_stage_contract():
     assert (df_bad["numero_resolucao"] == SENTINEL).all()
 
 
+def test_llm_pipeline_matches_deterministic_extractor(ray_session):
+    """The LLM actor path with the 'perfect model' fake transport produces
+    exactly the deterministic extractor's fields on the testdata corpus
+    (docs < 20k chars, so both see identical text/paras)."""
+    import ray.data as rd
+
+    from bgdss_ray.extract import extract_resolutions
+    from bgdss_ray.pipelines import llm_extract_pipeline, spanify_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    via_llm = llm_extract_pipeline(sf).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    direct = extract_resolutions(spanify_pipeline(sf)).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert list(via_llm.columns) == list(direct.columns)
+    for c in ["doc_id", "numero_resolucao", "data_inicial",
+              "dotacao_orcamentaria", "abreviacao", "ok"]:
+        assert (via_llm[c] == direct[c]).all(), c
+
+
 def test_llm_stage_counts_calls_through_limiter():
     calls = {"n": 0}
 
