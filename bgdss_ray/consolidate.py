@@ -107,15 +107,63 @@ def rename_pt(table: pa.Table) -> pa.Table:
     )
 
 
-def write_final_table(resolutions_ds, out_path: str) -> pd.DataFrame:
-    """Final small-table export (the reference writes Excel via openpyxl,
-    pdf_data_to_table.py:287-319; CSV here — same 9 columns, pt headers).
+def write_final_table(resolutions_ds, out_path: str,
+                      processed_at: str = "") -> pd.DataFrame:
+    """Final small-table export: the reference's two-sheet Excel workbook
+    (pdf_data_to_table.py:287-362) — main sheet 'Resoluções' with
+    clamp(max cell len, 10, 100) column widths, plus a 'Resumo' sheet of
+    non-sentinel statistics (widths A=30, B=20) — written by the
+    dependency-free OOXML writer in ``xlsx.py`` when ``out_path`` ends in
+    .xlsx, else CSV with the same 9 pt-headed columns.
 
-    The resolutions table is the crawl's *small* relational artifact, so a
-    driver-side to_pandas is the right call (guide: small results only).
+    ``processed_at`` replaces the reference's wall-clock 'Data de
+    Processamento' cell (callers pass a timestamp; empty keeps the export
+    deterministic for tests). The resolutions table is the crawl's *small*
+    relational artifact, so a driver-side to_pandas is the right call
+    (guide: small results only).
     """
     df = resolutions_ds.to_pandas()
     keep = [c for c in RESOLUTION_COLUMNS if c in df.columns]
     out = df[keep].rename(columns=PT_RENAME)
-    out.to_csv(out_path, index=False)
+    if not out_path.endswith(".xlsx"):
+        out.to_csv(out_path, index=False)
+        return out
+
+    from .config import NOT_CLASSIFIED
+    from .xlsx import auto_widths, write_xlsx
+
+    def n_not(col: str, sentinel: str = SENTINEL) -> int:
+        return int((out[col] != sentinel).sum()) if col in out.columns else 0
+
+    # the reference's summary rows (pdf_data_to_table.py:330-355)
+    resumo = pd.DataFrame(
+        {
+            "Estatística": [
+                "Total de Resoluções",
+                "Resoluções com Data Inicial",
+                "Resoluções com Prazo Execução",
+                "Resoluções com Vedações",
+                "Resoluções com Dotação Orçamentária",
+                "Resoluções Relacionadas a Outras",
+                "Resoluções com Link Disponível",
+                "Resoluções Classificadas por Categoria",
+                "Data de Processamento",
+            ],
+            "Valor": [
+                len(out),
+                n_not("Data Inicial"),
+                n_not("Prazo Execução"),
+                n_not("Vedado a Utilização"),
+                n_not("Dotação Orçamentária"),
+                n_not("Relacionada"),
+                n_not("Link"),
+                n_not("Abreviação", NOT_CLASSIFIED),
+                processed_at,
+            ],
+        }
+    )
+    write_xlsx(out_path, [
+        ("Resoluções", out, auto_widths(out)),
+        ("Resumo", resumo, [30.0, 20.0]),
+    ])
     return out
