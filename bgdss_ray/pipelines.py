@@ -300,7 +300,8 @@ def multimodal_pipeline(sf_dir: str):
     from .ops.multimodal import decode_media, synth_media_table
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    ids = [f"doc-{i}" for i in ds.to_pandas()["doc_id"].head(200)]
+    # limit() pushes down — only 200 ids ever reach the driver
+    ids = [f"doc-{i}" for i in ds.limit(200).to_pandas()["doc_id"]]
     media = rd.from_arrow(synth_media_table(ids))
     out = decode_media(media, concurrency=2, batch_size=32)
     return out.map_batches(
