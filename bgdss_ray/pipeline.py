@@ -399,7 +399,11 @@ def crawl_priority(
     robots = RobotsIndex(web.robots_body) if cfg.respect_robots else None
     ckpt = CrawlCheckpoint(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    seen = ShardedSeenSet(n_shards=cfg.seen_shards, mode="exact")
+    # actor-backed shards: the O(candidates) python seen loop runs
+    # parallel across shards instead of serially on the driver (hash
+    # arrays ship as numpy — cheap RPC payloads)
+    seen = ShardedSeenSet(n_shards=cfg.seen_shards, mode="exact",
+                          use_actors=True)
     sched = ShardedPoliteness(cfg.politeness, n_shards=cfg.seen_shards)
     from .frontier import (
         _HOST_RE,
@@ -441,6 +445,11 @@ def crawl_priority(
         urls = cand.column("url").to_pandas()
         depth = cand.column("depth").to_numpy(zero_copy_only=False)
         prio = priority_scores(urls, depth)
+        # canonical column order: seed candidates and exploded-link
+        # candidates carry the same columns in different orders, and the
+        # backlog concat requires identical schemas
+        cand = cand.select(["url", "parent_rank", "link_pos", "depth",
+                            "host", "is_pdf", "blocked", "url_hash"])
         return cand.append_column(
             "okey", pa.array(okey[new_mask], type=pa.int64())
         ).append_column("priority", pa.array(prio, type=pa.float64())), new_hashes
