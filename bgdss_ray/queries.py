@@ -202,14 +202,15 @@ GROUP BY 1, 2
 def dedup_first_wins(sf_dir: str):
     """First-occurrence-wins dedup (portal_saude_mg.py:417-422 semantics)
     on events keyed (user_id, event_type); first = min event_id."""
+    from ray.data.aggregate import Min
+
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type"])
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("event_id").head(1)
-
+    # the surviving row is (group key, min event_id) — a native Min
+    # aggregate IS the answer (C-speed shuffle, no per-group python);
+    # the same min-identity trick the frontier's dedup uses
     return (
         ds.groupby(["user_id", "event_type"])
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min("event_id", alias_name="event_id"))
     )
 
 
