@@ -129,3 +129,92 @@ def seeds_from_work_rows(rows: list[dict], url_template: str) -> list[dict]:
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Early-stop heuristics (SURVEY §2.8: adaptive frontier pruning — the driver
+# loop reads per-partition counts between waves and prunes remaining work)
+
+
+def scan_years_with_earlystop(years_in_order: list[int],
+                              counts: dict[int, int]) -> list[int]:
+    """Years actually attempted under the reference's year-scan stop rule
+    (portal_saude_ui.py:1546-1550): scanning in the given (newest-first)
+    order, an empty year stops the scan once the gap to the last year WITH
+    data exceeds 3 — the stopping year itself counts as attempted."""
+    attempted: list[int] = []
+    with_data: list[int] = []
+    for y in years_in_order:
+        attempted.append(y)
+        if counts.get(y, 0) > 0:
+            with_data.append(y)
+        elif with_data and (with_data[-1] - y) > 3:
+            break
+    return attempted
+
+
+def scan_months_until_empty(months_in_order: list[int],
+                            counts: dict[int, int]) -> list[int]:
+    """Months attempted under the month-scan rule (portal_saude_ui.py:
+    1581-1584): the first month with zero results stops the scan (a likely
+    future month); the empty month itself was attempted."""
+    attempted: list[int] = []
+    for m in months_in_order:
+        attempted.append(m)
+        if counts.get(m, 0) == 0:
+            break
+    return attempted
+
+
+def drop_future_months(year: int, months: list[int],
+                       now_year: int, now_month: int) -> list[int]:
+    """Declarative form of the future-month skip (portal_saude_ui.py:
+    1444-1448, which breaks the current year's scan at the first empty
+    month beyond "now"): past years keep all months, future years none,
+    the current year keeps months <= now_month."""
+    if year < now_year:
+        return list(months)
+    if year > now_year:
+        return []
+    return [m for m in months if m <= now_month]
+
+
+def period_counts(ds, period_col: str) -> dict:
+    """Distributed per-period row counts: one Count aggregate (shuffle of
+    the slim period column only) → an O(periods) driver dict. This is the
+    between-waves signal the early-stop folds consume — never a row-level
+    driver read."""
+    from ray.data.aggregate import Count
+
+    agg = (
+        ds.select_columns([period_col])
+        .groupby(period_col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return dict(zip(agg[period_col], agg["n"]))
+
+
+def prune_workspec(rows: list[dict], year_counts: dict[int, int],
+                   now_year: int | None = None,
+                   now_month: int | None = None) -> list[dict]:
+    """Adaptive pruning of remaining work rows from observed per-year
+    counts (+ optional future-month skip), preserving row order and seq.
+    The reference interleaves these stops inside its scrape loops; here
+    the equivalent fold runs between crawl waves on aggregate counts."""
+    years_seen_order: list[int] = []
+    for r in rows:
+        if r["year"] not in years_seen_order:
+            years_seen_order.append(r["year"])
+    keep_years = set(scan_years_with_earlystop(years_seen_order, year_counts))
+    out = []
+    for r in rows:
+        if r["year"] not in keep_years:
+            continue
+        if now_year is not None and now_month is not None:
+            if r["month"] not in drop_future_months(
+                r["year"], [r["month"]], now_year, now_month
+            ):
+                continue
+        out.append(r)
+    return out

@@ -114,3 +114,65 @@ def test_normalizer_cache():
     assert n.lookup("MG", "betim") == "Betim"
     assert ("MG:BETIM") in n.cache
     assert n.lookup("mg", "BETIM") == "Betim"  # case-insensitive cache key
+
+
+def test_year_scan_earlystop(ray_session):
+    from bgdss_ray.workspec import scan_years_with_earlystop
+
+    years = [2023, 2022, 2021, 2020, 2019, 2018, 2017, 2016]
+    counts = {2023: 5, 2022: 3}  # everything older empty
+    got = scan_years_with_earlystop(years, counts)
+    # 2021/2020/2019 empty but gap <= 3; 2018 (gap 4 from 2022) stops
+    assert got == [2023, 2022, 2021, 2020, 2019, 2018]
+    # no data at all: never stops (reference: stop needs a prior data year)
+    assert scan_years_with_earlystop(years, {}) == years
+
+
+def test_month_scan_until_empty():
+    from bgdss_ray.workspec import scan_months_until_empty
+
+    counts = {1: 4, 2: 7, 3: 0, 4: 9}
+    assert scan_months_until_empty([1, 2, 3, 4, 5], counts) == [1, 2, 3]
+    assert scan_months_until_empty([1, 2], {1: 1, 2: 1}) == [1, 2]
+
+
+def test_drop_future_months():
+    from bgdss_ray.workspec import drop_future_months
+
+    assert drop_future_months(2022, [1, 6, 12], 2023, 5) == [1, 6, 12]
+    assert drop_future_months(2024, [1, 6, 12], 2023, 5) == []
+    assert drop_future_months(2023, [1, 5, 6, 12], 2023, 5) == [1, 5]
+
+
+def test_period_counts_and_prune(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from bgdss_ray.workspec import period_counts, prune_workspec, seed_work_rows
+
+    docs = pd.DataFrame(
+        {"doc_id": range(10),
+         "year": [2023] * 4 + [2022] * 6}
+    )
+    counts = period_counts(rd.from_pandas(docs), "year")
+    assert counts == {2023: 4, 2022: 6}
+    rows = seed_work_rows(
+        ["portal"],
+        {"type": "range", "start_year": 2016, "end_year": 2023},
+        {"type": "all"},
+    )
+    pruned = prune_workspec(rows, {2023: 4, 2022: 6})
+    # seed_work_rows ascends 2016..2023; in ascending order the gap to the
+    # last data year is never positive, so nothing stops — all rows survive
+    years = sorted({r["year"] for r in pruned})
+    assert years == list(range(2016, 2024))
+    # newest-first pruning drops years older than (2022 - 3)
+    rows_desc = sorted(rows, key=lambda r: -r["year"])
+    pruned_desc = prune_workspec(rows_desc, {2023: 4, 2022: 6})
+    years_desc = sorted({r["year"] for r in pruned_desc})
+    assert years_desc == [2018, 2019, 2020, 2021, 2022, 2023]
+    # future-month skip composes
+    pruned_fm = prune_workspec(rows_desc, {2023: 4, 2022: 6},
+                               now_year=2023, now_month=3)
+    assert all(r["month"] <= 3 for r in pruned_fm if r["year"] == 2023)
+    assert any(r["month"] == 12 for r in pruned_fm if r["year"] == 2022)
