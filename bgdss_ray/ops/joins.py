@@ -89,3 +89,79 @@ def bucketed_join(
     both = lt.union(rt)
     out = both.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
     return out.to_pandas()
+
+
+def asof_join_backward(
+    left,
+    right,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    right_value_cols: list[str],
+) -> "object":
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_on`` <= ``left_on`` within the same key group
+    (inclusive — the usual trades/quotes semantics; DuckDB's
+    ``ASOF LEFT JOIN`` with ``l.t >= r.t`` is the oracle pairing).
+
+    Ray-Data-first: both sides are tagged into one union with a common
+    (key, time) schema, co-located with ONE groupby(key) shuffle, and
+    merged per group with pandas ``merge_asof`` inside map_groups —
+    right-side rows only ever move to their key's group. Unmatched left
+    rows keep nulls. The right side must be unique per (key, time) for a
+    deterministic winner — pre-aggregate upstream if it is not.
+    """
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    r_keep = [right_by, right_on] + right_value_cols
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        arrays = [t.column(left_by), t.column(left_on)]
+        names = ["__k", "__t"]
+        for c in l_cols:
+            arrays.append(t.column(c))
+            names.append(c)
+        for c in [right_on] + right_value_cols:
+            arrays.append(pa.nulls(t.num_rows, type=r_types[c]))
+            names.append(f"__r_{c}")
+        arrays.append(pa.array(np.zeros(t.num_rows, dtype=bool)))
+        names.append("__is_right")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.select(r_keep)
+        arrays = [t.column(right_by), t.column(right_on)]
+        names = ["__k", "__t"]
+        for c in l_cols:
+            arrays.append(pa.nulls(t.num_rows, type=l_types[c]))
+            names.append(c)
+        for c in [right_on] + right_value_cols:
+            arrays.append(t.column(c))
+            names.append(f"__r_{c}")
+        arrays.append(pa.array(np.ones(t.num_rows, dtype=bool)))
+        names.append("__is_right")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    out_r_cols = [f"__r_{c}" for c in [right_on] + right_value_cols]
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[~g["__is_right"]][l_cols + ["__t"]].sort_values("__t", kind="mergesort")
+        rg = g[g["__is_right"]][out_r_cols + ["__t"]].sort_values("__t", kind="mergesort")
+        if lg.empty:
+            return pd.DataFrame(columns=l_cols + out_r_cols)
+        merged = pd.merge_asof(
+            lg, rg, on="__t", direction="backward", allow_exact_matches=True
+        )
+        return merged[l_cols + out_r_cols]
+
+    out = lt.union(rt).groupby("__k").map_groups(merge_group, batch_format="pandas")
+    rename = {f"__r_{c}": c for c in [right_on] + right_value_cols}
+    return out.map_batches(
+        lambda df: df.rename(columns=rename), batch_format="pandas"
+    )

@@ -736,6 +736,59 @@ FROM documents
 """.replace("__STOP__", _stop_alternation())
 
 
+# --------------------------------------------------------------- q23
+def asof_latest_order(sf_dir: str):
+    """Backward as-of join (trades/quotes shape): each event picks the
+    user's latest order at-or-before the event timestamp. Co-partitioned
+    groupby + per-group merge_asof (ops/joins.asof_join_backward); right
+    side deduped to one row per (custkey, orderdate) so the winner is
+    deterministic. DuckDB's native ASOF LEFT JOIN is the oracle."""
+    from ray.data.aggregate import Max
+
+    from .ops.joins import asof_join_backward
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    ded = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Max("o_orderkey", alias_name="o_orderkey")
+    )
+    out = asof_join_backward(
+        ev, ded,
+        left_by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        right_value_cols=["o_orderkey"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # the union pads left columns with nulls on right-side rows, which
+        # degrades int64 → float64 through pandas; restore exact types
+        df["event_id"] = df["event_id"].astype("int64")
+        df["user_id"] = df["user_id"].astype("int64")
+        df["o_orderkey"] = df["o_orderkey"].fillna(-1).astype("int64")
+        df["o_orderdate"] = (
+            df["o_orderdate"].fillna(pd.Timestamp("1970-01-01"))
+            .astype("datetime64[us]")  # merge path downcasts to [s]
+        )
+        return df[["event_id", "user_id", "ts", "o_orderdate", "o_orderkey"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+ASOF_LATEST_ORDER_SQL = """
+WITH ded AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(MAX(o_orderkey) AS BIGINT) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       COALESCE(d.o_orderdate, TIMESTAMP '1970-01-01') AS o_orderdate,
+       CAST(COALESCE(d.o_orderkey, -1) AS BIGINT) AS o_orderkey
+FROM events e ASOF LEFT JOIN ded d
+  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+"""
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -756,6 +809,7 @@ SQL_PAIRED = {
     "hash_join_revenue": (hash_join_revenue, HASH_JOIN_REVENUE_SQL),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
     "running_totals": (running_totals, RUNNING_TOTALS_SQL),
+    "asof_latest_order": (asof_latest_order, ASOF_LATEST_ORDER_SQL),
     "span_counts": (span_counts, SPAN_COUNTS_SQL),
     "lang_scores": (lang_scores, LANG_SCORES_SQL),
     "quality_counts": (quality_counts, QUALITY_COUNTS_SQL),

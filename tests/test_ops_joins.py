@@ -41,3 +41,58 @@ def test_bucketed_matches_pandas_merge(sides):
         cust.to_pandas(), left_on="o_custkey", right_on="c_custkey"
     ).drop(columns=["c_custkey"])
     pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_asof_join_backward_matches_global_merge_asof(ray_session):
+    """Co-partitioned per-group merge_asof == one global pandas merge_asof
+    (by-key), including keys with no right rows (null fill)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from bgdss_ray.ops.joins import asof_join_backward
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(60),
+            "k": rng.randint(0, 5, 60),
+            "t": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+                rng.randint(0, 10_000, 60), unit="m"
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.randint(0, 4, 25),  # key 4 has NO right rows
+            "rt": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+                rng.randint(0, 10_000, 25), unit="m"
+            ),
+            "rv": np.arange(25, dtype=np.int64),
+        }
+    ).drop_duplicates(["rk", "rt"])  # unique per (key,time): deterministic
+
+    got = asof_join_backward(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        left_by="k", right_by="rk", left_on="t", right_on="rt",
+        right_value_cols=["rv"],
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    want = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("rt", kind="mergesort"),
+        left_on="t", right_on="rt", left_by="k", right_by="rk",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+
+    assert len(got) == len(left)
+    assert got["lid"].astype("int64").tolist() == want["lid"].tolist()
+    assert got["rv"].fillna(-1).astype("int64").tolist() == \
+        want["rv"].fillna(-1).astype("int64").tolist()
+    assert got["rt"].fillna(pd.Timestamp(0)).tolist() == \
+        want["rt"].fillna(pd.Timestamp(0)).tolist()
+    # keys without right rows survive with nulls
+    assert got[got["k"] == 4]["rv"].isna().all() or (left["k"] != 4).all()
