@@ -789,6 +789,43 @@ FROM events e ASOF LEFT JOIN ded d
 """
 
 
+# --------------------------------------------------------------- q24
+def banded_event_pairs(sf_dir: str):
+    """Banded range join (non-equi): per event, the count of the same
+    user's OTHER events within ±5 minutes. One groupby(user) shuffle
+    co-locates each key; inside the group the band predicate is two
+    vectorized searchsorted passes over the sorted timestamps — no
+    pairwise expansion (the naive self-join is O(n²) per key)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    band = pd.Timedelta(minutes=5)
+
+    def nearby(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        lo = np.searchsorted(ts, ts - band.to_timedelta64(), side="left")
+        hi = np.searchsorted(ts, ts + band.to_timedelta64(), side="right")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "n_nearby": (hi - lo - 1).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(nearby, batch_format="pandas")
+
+
+BANDED_EVENT_PAIRS_SQL = """
+SELECT a.event_id, a.user_id,
+       CAST(COUNT(b.event_id) AS BIGINT) AS n_nearby
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+ AND b.event_id <> a.event_id
+GROUP BY a.event_id, a.user_id
+"""
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -810,6 +847,7 @@ SQL_PAIRED = {
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
     "running_totals": (running_totals, RUNNING_TOTALS_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_LATEST_ORDER_SQL),
+    "banded_event_pairs": (banded_event_pairs, BANDED_EVENT_PAIRS_SQL),
     "span_counts": (span_counts, SPAN_COUNTS_SQL),
     "lang_scores": (lang_scores, LANG_SCORES_SQL),
     "quality_counts": (quality_counts, QUALITY_COUNTS_SQL),
