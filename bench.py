@@ -87,6 +87,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("events_hourly", SQL_PAIRED["events_hourly"][0]),
         ("token_count", SQL_PAIRED["token_count"][0]),
         ("ann_topk_members", SQL_PAIRED["ann_topk_members"][0]),
+        ("asof_latest_order", SQL_PAIRED["asof_latest_order"][0]),
         ("dedup_minhash", P.dedup_minhash_pipeline),
         ("lang_quality", P.lang_quality_pipeline),
         ("fingerprints", P.fingerprint_pipeline),
