@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "multimodal_decode": P.multimodal_pipeline,
             "mds_csv_parse": P.mds_csv_pipeline,
             "llm_extract": P.llm_extract_pipeline,
+            "hll_distinct": P.hll_distinct_pipeline,
         }
     )
     return q

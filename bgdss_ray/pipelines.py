@@ -309,6 +309,19 @@ def multimodal_pipeline(sf_dir: str):
     )
 
 
+def hll_distinct_pipeline(sf_dir: str):
+    """HyperLogLog distinct-count sketch over representative columns, with
+    the exact distributed distinct count + relative error alongside (the
+    production self-check; ops/sketches.py)."""
+    from .ops.sketches import hll_distinct_report
+
+    return hll_distinct_report(
+        sf_dir,
+        [("events", "user_id"), ("orders", "o_custkey"),
+         ("documents", "text"), ("lineitem", "l_orderkey")],
+    )
+
+
 def mds_csv_pipeline(sf_dir: str):
     """Deterministic MDS-style CSV payloads → fallback-ladder parse."""
     from .csvio import read_mds_csv

@@ -1,0 +1,57 @@
+"""HyperLogLog distinct-count sketch: accuracy, merge algebra, Dataset op."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bgdss_ray.ops.sketches import HllSketch, hll_distinct, hll_distinct_report
+from bgdss_ray.urlnorm import url_hash64
+
+
+def _hashes(n, seed=0):
+    return url_hash64([f"item-{seed}-{i}" for i in range(n)])
+
+
+@pytest.mark.parametrize("n", [100, 5_000, 50_000])
+def test_hll_estimate_accuracy(n):
+    sk = HllSketch(p=12).add_hashes(_hashes(n))
+    est = sk.estimate()
+    # p=12 → ~1.6% typical error; allow 5% (deterministic hash, fixed bound)
+    assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_duplicates_do_not_inflate():
+    h = _hashes(1000)
+    once = HllSketch().add_hashes(h)
+    many = HllSketch().add_hashes(np.tile(h, 20))
+    assert np.array_equal(once.registers, many.registers)
+
+
+def test_hll_merge_is_union_exact_registers():
+    """merge(h(A), h(B)) has register-identical state to h(A ∪ B) — the
+    associativity/commutativity any combine tree relies on."""
+    a, b = _hashes(3000, seed=1), _hashes(4000, seed=2)
+    ab = HllSketch().add_hashes(np.concatenate([a, b]))
+    merged = HllSketch().add_hashes(b).merge(HllSketch().add_hashes(a))
+    assert np.array_equal(ab.registers, merged.registers)
+
+
+def test_hll_dataset_op_matches_local(ray_session):
+    vals = [f"u-{i % 2500}" for i in range(20_000)]  # 2500 distinct
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    est = hll_distinct(ds, "v")
+    local = HllSketch().add_strings(sorted(set(vals))).estimate()
+    assert est == pytest.approx(local)  # partial+merge == single pass
+    assert abs(est - 2500) / 2500 < 0.05
+
+
+def test_hll_report_on_testdata(ray_session):
+    rep = hll_distinct_report(
+        "/root/testdata/sf0.001",
+        [("events", "user_id"), ("orders", "o_custkey"), ("documents", "text")],
+    )
+    assert len(rep) == 3
+    assert (rep["rel_error"] < 0.06).all(), rep.to_dict("records")
+    assert (rep["exact_distinct"] > 0).all()
