@@ -826,6 +826,87 @@ GROUP BY a.event_id, a.user_id
 """
 
 
+# --------------------------------------------------------------- q25
+def deterministic_sample(sf_dir: str):
+    """Deterministic distributed sampling: uniform-without-replacement via
+    hash ordering — rank every row by md5(doc_id) and keep the global
+    top-100. Per-batch partial top-k (only 100 rows leave each batch),
+    tiny final combine; same md5 on the DuckDB side makes the 'random'
+    sample exactly reproducible (SURVEY §2.8 sampling, debug/eval splits)."""
+    import hashlib as _hashlib
+
+    k = 100
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keys = [_hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = np.argsort(np.asarray(keys))[:k]
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_id").take(pa.array(order)),
+                t.column("n_chars").take(pa.array(order)),
+                pa.array([keys[i] for i in order], type=pa.string()),
+            ],
+            names=["doc_id", "n_chars", "sample_key"],
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values("sample_key").head(k).reset_index(drop=True)
+    return out
+
+
+DETERMINISTIC_SAMPLE_SQL = """
+SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------- q26
+def price_percentiles(sf_dir: str):
+    """Exact discrete percentiles (p50/p90/p99 of order totalprice, in
+    integer cents) per order priority: groupby co-location + numpy
+    quantile with the 'inverted_cdf' (discrete) method — matches DuckDB's
+    quantile_disc bit-for-bit because both pick an actual data point."""
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.sort(
+            np.floor(g["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        )
+        n = len(cents)
+
+        def q(p: float) -> int:
+            # quantile_disc: smallest x with CDF(x) >= p
+            idx = int(np.ceil(p * n)) - 1
+            return int(cents[max(0, idx)])
+
+        return pd.DataFrame(
+            [{
+                "o_orderpriority": g["o_orderpriority"].iloc[0],
+                "n_orders": np.int64(n),
+                "p50_cents": q(0.5),
+                "p90_cents": q(0.9),
+                "p99_cents": q(0.99),
+            }]
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(pct, batch_format="pandas")
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.50) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.90) AS BIGINT) AS p90_cents,
+       CAST(quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.99) AS BIGINT) AS p99_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -848,6 +929,8 @@ SQL_PAIRED = {
     "running_totals": (running_totals, RUNNING_TOTALS_SQL),
     "asof_latest_order": (asof_latest_order, ASOF_LATEST_ORDER_SQL),
     "banded_event_pairs": (banded_event_pairs, BANDED_EVENT_PAIRS_SQL),
+    "deterministic_sample": (deterministic_sample, DETERMINISTIC_SAMPLE_SQL),
+    "price_percentiles": (price_percentiles, PRICE_PERCENTILES_SQL),
     "span_counts": (span_counts, SPAN_COUNTS_SQL),
     "lang_scores": (lang_scores, LANG_SCORES_SQL),
     "quality_counts": (quality_counts, QUALITY_COUNTS_SQL),
