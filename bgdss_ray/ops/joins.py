@@ -99,6 +99,7 @@ def asof_join_backward(
     left_on: str,
     right_on: str,
     right_value_cols: list[str],
+    n_buckets: int = 32,
 ) -> "object":
     """Backward as-of join: for each left row, the right row with the
     greatest ``right_on`` <= ``left_on`` within the same key group
@@ -106,11 +107,13 @@ def asof_join_backward(
     ``ASOF LEFT JOIN`` with ``l.t >= r.t`` is the oracle pairing).
 
     Ray-Data-first: both sides are tagged into one union with a common
-    (key, time) schema, co-located with ONE groupby(key) shuffle, and
-    merged per group with pandas ``merge_asof`` inside map_groups —
-    right-side rows only ever move to their key's group. Unmatched left
-    rows keep nulls. The right side must be unique per (key, time) for a
-    deterministic winner — pre-aggregate upstream if it is not.
+    (key, time, key-hash bucket) schema, co-located with ONE
+    groupby(bucket) shuffle (B buckets, not one group per key), and each
+    bucket merges ALL its keys in a single vectorized
+    ``merge_asof(..., by=key)`` call — per-key python never runs.
+    Unmatched left rows keep nulls. The right side must be unique per
+    (key, time) for a deterministic winner — pre-aggregate upstream if it
+    is not.
     """
     l_schema = left.schema()
     r_schema = right.schema()
@@ -119,9 +122,23 @@ def asof_join_backward(
     r_types = dict(zip(r_schema.names, r_schema.types))
     r_keep = [right_by, right_on] + right_value_cols
 
+    def _bucket_of(col) -> pa.Array:
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype.kind in "iu":
+            h = v.astype(np.uint64)
+            with np.errstate(over="ignore"):  # murmur fmix64 spread
+                h = h ^ (h >> np.uint64(33))
+                h = h * np.uint64(0xFF51AFD7ED558CCD)
+                h = h ^ (h >> np.uint64(33))
+        else:
+            from ..urlnorm import url_hash64
+
+            h = url_hash64([str(x) for x in v])
+        return pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+
     def tag_left(t: pa.Table) -> pa.Table:
-        arrays = [t.column(left_by), t.column(left_on)]
-        names = ["__k", "__t"]
+        arrays = [t.column(left_by), t.column(left_on), _bucket_of(t.column(left_by))]
+        names = ["__k", "__t", "__b"]
         for c in l_cols:
             arrays.append(t.column(c))
             names.append(c)
@@ -134,8 +151,8 @@ def asof_join_backward(
 
     def tag_right(t: pa.Table) -> pa.Table:
         t = t.select(r_keep)
-        arrays = [t.column(right_by), t.column(right_on)]
-        names = ["__k", "__t"]
+        arrays = [t.column(right_by), t.column(right_on), _bucket_of(t.column(right_by))]
+        names = ["__k", "__t", "__b"]
         for c in l_cols:
             arrays.append(pa.nulls(t.num_rows, type=l_types[c]))
             names.append(c)
@@ -150,17 +167,22 @@ def asof_join_backward(
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     out_r_cols = [f"__r_{c}" for c in [right_on] + right_value_cols]
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[~g["__is_right"]][l_cols + ["__t"]].sort_values("__t", kind="mergesort")
-        rg = g[g["__is_right"]][out_r_cols + ["__t"]].sort_values("__t", kind="mergesort")
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[~g["__is_right"]][l_cols + ["__k", "__t"]].sort_values(
+            "__t", kind="mergesort"
+        )
+        rg = g[g["__is_right"]][out_r_cols + ["__k", "__t"]].sort_values(
+            "__t", kind="mergesort"
+        )
         if lg.empty:
             return pd.DataFrame(columns=l_cols + out_r_cols)
         merged = pd.merge_asof(
-            lg, rg, on="__t", direction="backward", allow_exact_matches=True
+            lg, rg, on="__t", by="__k",
+            direction="backward", allow_exact_matches=True,
         )
         return merged[l_cols + out_r_cols]
 
-    out = lt.union(rt).groupby("__k").map_groups(merge_group, batch_format="pandas")
+    out = lt.union(rt).groupby("__b").map_groups(merge_bucket, batch_format="pandas")
     rename = {f"__r_{c}": c for c in [right_on] + right_value_cols}
     return out.map_batches(
         lambda df: df.rename(columns=rename), batch_format="pandas"
