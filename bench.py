@@ -54,9 +54,12 @@ def run_crawl(num_cpus: int) -> dict:
     # shards get the same headroom fraction, like dedicated nodes would on
     # a real cluster) — comparing 4/4 cores vs 14/16 would bake a 12%
     # structural penalty into the hi level.
+    # 8 admission shards at every level: enough parallel admission for
+    # this box, without 16 extra always-waking actor processes contending
+    # with the fetch tasks (16 shards cost ~10s/crawl at 16 CPUs, measured)
     cfg = CrawlConfig(max_depth=3,
                       fetch_concurrency=max(3, (num_cpus * 3) // 4),
-                      max_pages=2_000_000)
+                      max_pages=2_000_000, seen_shards=8)
     t0 = time.perf_counter()
     res = crawl(SynthWebConfig(**BENCH_WEB), out, cfg)
     wall = time.perf_counter() - t0
