@@ -217,6 +217,18 @@ def test_robots_enforced_end_to_end(tmp_path, oracle_result):
     )
 
 
+def test_shard_count_invariance(tmp_path, oracle_result):
+    """Admission shard count must never affect crawl output (equal hashes
+    co-shard for any K; rank/politeness are assigned on the merged okey
+    order) — guard for bench/production configs that tune seen_shards."""
+    for k in (1, 7):
+        out = str(tmp_path / f"shards{k}")
+        cfg = CrawlConfig(max_depth=3, seen_shards=k, fetch_concurrency=2)
+        crawl(WEB, out, cfg)
+        log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+        assert log.column("url").to_pylist() == oracle_result.crawl_order, k
+
+
 def test_cuckoo_seen_mode_matches_exact(tmp_path, oracle_result):
     """The approximate seen-set path (cuckoo shards) produces the same
     crawl as the exact path on this corpus (insert-only usage, adequate
