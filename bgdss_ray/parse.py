@@ -79,10 +79,13 @@ class SpanParser:
     making it a callable class anyway.
     """
 
-    def __init__(self, min_pdf_bytes: int = 1024, pdf_magic: bytes = b"%PDF-"):
+    def __init__(self, min_pdf_bytes: int = 1024, pdf_magic: bytes = b"%PDF-",
+                 rules=None):
         self.min_pdf_bytes = min_pdf_bytes
         self.pdf_magic = pdf_magic
-        self.span_re = _SPAN_RE
+        # declarative selector config (adapters.ParseRules) compiles to the
+        # same single-scan regex; None keeps the built-in default selectors
+        self.span_re = rules.compile() if rules is not None else _SPAN_RE
 
     def spans_for_row(self, url: str, kind: str, body: bytes) -> list[dict] | None:
         if kind == "listing":
