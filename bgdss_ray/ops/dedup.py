@@ -290,6 +290,77 @@ def minhash_lsh_candidates(ds, n_perm=128, n_bands=16, seed=7, shingle_k=3):
     return bucket_pairs_distributed(banded, hot, id_col)
 
 
+class ShingleExploder:
+    """map_batches stage: (id, text) → one (id, bucket) row per distinct
+    word-k-gram shingle, bucket = the shingle's 64-bit hash. The exploded
+    volume is O(total distinct shingles) of two slim columns; at cluster
+    scale cap it by hash-sampling shingles (keep bucket % S == 0) — the
+    candidate generator stays unbiased because a shared shingle is sampled
+    identically for every document containing it."""
+
+    def __init__(self, shingle_k: int = 3, sample_mod: int = 1):
+        self.k = shingle_k
+        self.sample_mod = sample_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        id_name = batch.schema.names[0]
+        ids = batch.column(id_name).to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, out_buckets = [], []
+        for i, t in zip(ids, texts):
+            sh = shingle_hashes(t, self.k)
+            if self.sample_mod > 1:
+                sh = sh[sh % np.uint64(self.sample_mod) == 0]
+            out_ids.extend([i] * len(sh))
+            out_buckets.append(sh)
+        buckets = (
+            np.concatenate(out_buckets) if out_buckets else np.empty(0, np.uint64)
+        )
+        return pa.Table.from_arrays(
+            [pa.array(out_ids), pa.array(buckets.view(np.int64))],
+            names=[id_name, "bucket"],
+        )
+
+
+def ngram_inverted_candidates(ds, shingle_k: int = 3, max_df: int = 5,
+                              sample_mod: int = 1) -> pd.DataFrame:
+    """Candidate pairs from a RARE-shingle inverted index (no minhash
+    approximation): explode (id, shingle) postings, keep shingles shared
+    by 2..max_df documents (df==1 is useless, df>max_df is a stopword-ish
+    common shingle), pair documents inside each rare posting list via
+    ``groupby(bucket).map_groups``. Same distributed shape as the LSH
+    bucket machinery — only pairs reach the driver."""
+    from ray.data.aggregate import Count
+
+    id_col = ds.schema().names[0]
+    banded = ds.map_batches(
+        ShingleExploder(shingle_k, sample_mod),
+        batch_format="pyarrow", batch_size=1024,
+    ).materialize()
+    counts = (
+        banded.select_columns(["bucket"])
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+    rare = counts.map_batches(
+        lambda t: t.filter(
+            pa.compute.and_(
+                pa.compute.greater(t.column("n"), 1),
+                pa.compute.less_equal(t.column("n"), max_df),
+            )
+        ).select(["bucket"]),
+        batch_format="pyarrow",
+    )
+    parts = [
+        b.column("bucket").to_numpy(zero_copy_only=False)
+        for b in rare.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    keys = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    if not keys.size:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return bucket_pairs_distributed(banded, keys, id_col)
+
+
 def verify_jaccard_pairs(pairs: pd.DataFrame, texts: dict, threshold: float,
                          shingle_k: int = 3) -> pd.DataFrame:
     """Exact Jaccard verification of candidate pairs (driver or per-bucket)."""

@@ -170,15 +170,16 @@ def dedup_simhash_pipeline(sf_dir: str):
 
 
 def dedup_ngram_jaccard_pipeline(sf_dir: str):
-    """Verified-Jaccard near-dup pairs (exact verification of LSH candidates)."""
+    """Exact n-gram-Jaccard near-dup pairs: candidates from the RARE-shingle
+    inverted index (no minhash approximation), then exact Jaccard verify."""
     from .ops.dedup import (
         _texts_for_ids,
-        minhash_lsh_candidates,
+        ngram_inverted_candidates,
         verify_jaccard_pairs,
     )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    cand = minhash_lsh_candidates(ds)
+    cand = ngram_inverted_candidates(ds, max_df=5)
     if cand.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     texts = _texts_for_ids(ds, set(cand["id_a"]) | set(cand["id_b"]), "doc_id")

@@ -160,3 +160,25 @@ def test_minhash_batch_equals_per_doc():
     batch = mh.signatures_batch(sets)
     for i, s in enumerate(sets):
         assert np.array_equal(batch[i], mh.signature(s)), i
+
+
+def test_ngram_inverted_index_candidates(corpus_ds):
+    """The rare-shingle inverted index surfaces the planted near-dup
+    groups as candidates without any minhash approximation, and exact
+    Jaccard verification confirms them."""
+    from bgdss_ray.ops.dedup import (
+        _texts_for_ids,
+        ngram_inverted_candidates,
+        verify_jaccard_pairs,
+    )
+
+    cand = ngram_inverted_candidates(corpus_ds, max_df=6)
+    got = {tuple(sorted((a, b))) for a, b in zip(cand["id_a"], cand["id_b"])}
+    assert (200, 201) in got
+    assert (100, 101) in got or (100, 102) in got or (101, 102) in got
+    texts = _texts_for_ids(corpus_ds, set(cand["id_a"]) | set(cand["id_b"]),
+                           "doc_id")
+    ver = verify_jaccard_pairs(cand, texts, threshold=0.5)
+    vg = {tuple(sorted((a, b))) for a, b in zip(ver["id_a"], ver["id_b"])}
+    assert (200, 201) in vg
+    assert all(j >= 0.5 for j in ver["jaccard"])
