@@ -1,10 +1,14 @@
-"""Frontier admission: candidate links → deduped, ranked, scheduled wave.
+"""Frontier primitives: order keys, in-wave dedup, robots masks, seeds.
 
 Crawl order is *computed, not observed* (SURVEY.md §7.5 item 1): a child's
 rank derives from ``(parent_rank, link_pos)`` — the order the sequential
-reference crawler would have enqueued it — never from task timing. Admission
-therefore reproduces the reference's FIFO + first-occurrence-wins semantics
-(portal_saude_mg.py:417-422,439) under arbitrary parallelism.
+reference crawler would have enqueued it — never from task timing, so
+first-occurrence-wins semantics (portal_saude_mg.py:417-422,439) hold
+under arbitrary parallelism. Three parity-tested dedup implementations:
+driver numpy (``dedup_candidates``, priority mode), distributed
+groupby + minima join-back (``dedup_candidates_grouped``, ultra-wide
+waves), and the shard-parallel admission actors in ``admission.py``
+(the BFS hot path, which owns seen-marking as well).
 """
 
 from __future__ import annotations
@@ -13,11 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .config import CrawlConfig
-from .politeness import HostState, assign_vtimes
-from .seen import ShardedSeenSet
-from .synth import SynthWeb
-from .urlnorm import host_of, url_hash64
+from .urlnorm import url_hash64
 
 CANDIDATE_COLUMNS = ["url", "depth", "parent_rank", "link_pos"]
 
@@ -188,154 +188,6 @@ def robots_allowed_mask(urls: pd.Series, hosts: pd.Series, robots) -> np.ndarray
             bad |= seg.str.startswith(d).to_numpy()
         mask[host_rows[host]] = ~bad
     return mask
-
-
-def admit_wave(
-    candidates: pa.Table,
-    seen: ShardedSeenSet,
-    scheduler,
-    next_rank: int,
-    budget_left: int,
-    web: SynthWeb,
-    cfg: CrawlConfig,
-    robots=None,
-) -> tuple[pa.Table, np.ndarray, pa.Table | None]:
-    """Dedup candidates, drop too-deep/robots-blocked/seen, rank,
-    politeness-schedule.
-
-    Returns (wave table ready for FetchStage, new seen hashes, overflow).
-    ``candidates`` must already be in-wave deduped (carry url_hash).
-
-    ``overflow`` is the admitted-but-over-budget remainder: rows already
-    marked seen (enqueue semantics, like the oracle's queue) that did not
-    fit in ``budget_left``. The caller must carry them into the next
-    frontier so a budget-truncated run resumed with a larger budget fetches
-    them — they re-enter admission with ``preadmitted=True`` and bypass the
-    seen check (they are enqueued, not new).
-    """
-    n = candidates.num_rows
-    if n == 0:
-        return _empty_wave(), np.empty(0, dtype=np.uint64), None
-
-    # Depth gate FIRST: the oracle never marks too-deep children as seen
-    # (oracle.py enqueues only when depth+1 <= max_depth).
-    depth_all = candidates.column("depth").to_numpy(zero_copy_only=False)
-    candidates = candidates.filter(pa.array(depth_all <= cfg.max_depth))
-    if candidates.num_rows == 0:
-        return _empty_wave(), np.empty(0, dtype=np.uint64), None
-
-    keys = order_key(
-        candidates.column("parent_rank").to_numpy(zero_copy_only=False),
-        candidates.column("link_pos").to_numpy(zero_copy_only=False),
-    )
-    order = np.argsort(keys, kind="stable")
-    candidates = candidates.take(pa.array(order))
-
-    # host / is_pdf / blocked are precomputed in the parallel wave stage
-    # (or at seed build) — the driver does zero per-URL string work here.
-    # robots gate first: blocked URLs never reach the seen set (oracle
-    # parity); the flags were evaluated against the same pure robots rules.
-    if "blocked" in candidates.schema.names:
-        blk = candidates.column("blocked").to_numpy(zero_copy_only=False)
-        if blk.any():
-            candidates = candidates.filter(pa.array(~blk))
-            if candidates.num_rows == 0:
-                return _empty_wave(), np.empty(0, dtype=np.uint64), None
-        host_series = candidates.column("host").to_pandas()
-        all_kinds = candidates.column("is_pdf").to_numpy(zero_copy_only=False)
-    else:
-        url_series = candidates.column("url").to_pandas()
-        all_hosts, kind_strs = hosts_and_kinds(url_series)
-        host_series = pd.Series(all_hosts)
-        all_kinds = np.asarray([k == "pdf" for k in kind_strs], dtype=bool)
-        if robots is not None:
-            allowed = robots_allowed_mask(url_series, host_series, robots)
-            if not allowed.all():
-                candidates = candidates.filter(pa.array(allowed))
-                host_series = host_series[allowed].reset_index(drop=True)
-                all_kinds = all_kinds[allowed]
-                if candidates.num_rows == 0:
-                    return _empty_wave(), np.empty(0, dtype=np.uint64), None
-
-    hashes = candidates.column("url_hash").to_numpy(zero_copy_only=False)
-
-    # carried-over rows from a budget-truncated wave are already enqueued
-    # (marked seen when first admitted) — they bypass the seen check
-    if "preadmitted" in candidates.schema.names:
-        pre = candidates.column("preadmitted").to_numpy(zero_copy_only=False)
-        pre = np.asarray(pre, dtype=bool)
-    else:
-        pre = np.zeros(len(hashes), dtype=bool)
-    new_mask = np.zeros(len(hashes), dtype=bool)
-    fresh_idx = np.nonzero(~pre)[0]
-    if len(fresh_idx):
-        # marks seen = "enqueued", oracle parity (in-order within the call)
-        new_mask[fresh_idx] = seen.check_and_add(hashes[fresh_idx])
-    new_hashes = hashes[new_mask]
-
-    keep = new_mask | pre
-    admitted = candidates.filter(pa.array(keep))
-    hosts = host_series[keep].tolist()
-    kinds = all_kinds[keep].tolist()
-    overflow = None
-    if admitted.num_rows > budget_left:
-        overflow = admitted.slice(budget_left)
-        # remainder re-enters admission as already-enqueued carry-over
-        names = overflow.schema.names
-        flags = pa.array(np.ones(overflow.num_rows, dtype=bool))
-        if "preadmitted" in names:
-            overflow = overflow.set_column(
-                names.index("preadmitted"), "preadmitted", flags
-            )
-        else:
-            overflow = overflow.append_column("preadmitted", flags)
-        admitted = admitted.slice(0, budget_left)
-        hosts = hosts[:budget_left]
-        kinds = kinds[:budget_left]
-    m = admitted.num_rows
-    if m == 0:
-        return _empty_wave(), new_hashes, overflow
-
-    delays = None
-    if robots is not None:
-        delays = {}
-        for h in set(hosts):
-            d = robots.crawl_delay(h)
-            if d is not None:
-                delays[h] = d
-    # sharded politeness scheduler: per-host folds run in parallel
-    # (actor shards on a cluster); identical to the sequential fold
-    vtimes = scheduler.assign(hosts, kinds, delays)
-    if "host" in admitted.schema.names:
-        host_col = admitted.column("host")  # reuse arrow column, no rebuild
-    else:
-        host_col = pa.array(hosts, type=pa.string())
-    wave = pa.Table.from_arrays(
-        [
-            admitted.column("url"),
-            admitted.column("url_hash").cast(pa.uint64()),
-            host_col,
-            admitted.column("depth").cast(pa.int32()),
-            pa.array(np.arange(next_rank, next_rank + m, dtype=np.int64)),
-            pa.array(np.asarray(vtimes, dtype=np.float64)),
-        ],
-        names=["url", "url_hash", "host", "depth", "crawl_seq", "vtime"],
-    )
-    return wave, new_hashes, overflow
-
-
-def _empty_wave() -> pa.Table:
-    return pa.Table.from_arrays(
-        [
-            pa.array([], type=pa.string()),
-            pa.array([], type=pa.uint64()),
-            pa.array([], type=pa.string()),
-            pa.array([], type=pa.int32()),
-            pa.array([], type=pa.int64()),
-            pa.array([], type=pa.float64()),
-        ],
-        names=["url", "url_hash", "host", "depth", "crawl_seq", "vtime"],
-    )
 
 
 def seeds_to_candidates(seed_rows: list[dict], robots=None) -> pa.Table:

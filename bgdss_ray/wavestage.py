@@ -1,10 +1,13 @@
 """Combined per-wave stage: fetch + span-parse + link-extract in ONE pass.
 
-One map_batches execution per wave does all the per-page work; the driver
-then runs only cheap column-select passes over the materialized result
-(no body column leaves the stage). This keeps task-scheduling overhead
-constant per wave instead of 5 executions x many blocks — the fix for the
-anti-scaling observed at high num_cpus (see BASELINE.md bench notes).
+One map_batches execution per wave does all the per-page work. In
+shard-push mode (BFS hot path) the stage also explodes candidate links
+and ships them hash-routed to the admission shard actors as one shared
+plasma object per batch — the driver receives only per-batch count rows.
+Spans accumulate as flat columns (one ListArray build per batch, no
+per-span dicts); documents/crawl-log parquet shards are written
+stage-side with idempotent names. Priority mode uses the same stage with
+``shards=None`` and gets the candidate link lists back instead.
 """
 
 from __future__ import annotations
