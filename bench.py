@@ -66,7 +66,7 @@ def run_crawl(num_cpus: int) -> dict:
     from bgdss_ray.checkpoint import CrawlCheckpoint
 
     met = CrawlCheckpoint(out).read_all("metrics").to_pandas()
-    frontier_ops = float((met["new_urls"] + met["dup_urls"]).sum() / wall)
+    frontier_ops = float((met["new_urls"] + met["rejected_urls"]).sum() / wall)
     return {
         "pages": res.pages_fetched,
         "docs": res.docs_emitted,

@@ -28,7 +28,7 @@ from .seen import _ShardCore
 
 # candidate schema pushed by the wave stage / seed bootstrap
 CAND_COLS = ["url", "parent_rank", "link_pos", "depth",
-             "url_hash", "host", "is_pdf", "blocked", "preadmitted"]
+             "url_hash", "host", "is_pdf", "blocked"]
 
 _ORDER_SHIFT = np.int64(1) << np.int64(32)
 
@@ -123,20 +123,13 @@ class AdmissionShardCore:
         hashes = hashes[keep]
         keys = keys[keep]
 
-        # seen check in okey order (oracle marks at enqueue, FIFO order);
-        # preadmitted carry-over rows are already enqueued — bypass
+        # seen check in okey order (oracle marks at enqueue, FIFO order)
         o = np.argsort(keys, kind="stable")
-        pre = np.asarray(
-            t.column("preadmitted").to_numpy(zero_copy_only=False), dtype=bool
-        )
         new_mask = np.zeros(len(keys), dtype=bool)
-        fresh = o[~pre[o]]
-        if len(fresh):
-            new_mask[fresh] = self.seen.check_and_add(hashes[fresh])
+        new_mask[o] = self.seen.check_and_add(hashes[o])
         new_hashes = hashes[new_mask]  # delta is a set on reload; order free
-        admitted_mask = new_mask | pre
-        t = t.filter(pa.array(admitted_mask))
-        keys = keys[admitted_mask]
+        t = t.filter(pa.array(new_mask))
+        keys = keys[new_mask]
         o2 = np.argsort(keys, kind="stable")
         t = t.take(pa.array(o2)).append_column(
             "okey", pa.array(keys[o2], type=pa.int64())
@@ -153,7 +146,6 @@ def _empty_admitted() -> pa.Table:
             pa.array([], type=pa.int32()),
             pa.array([], type=pa.uint64()),
             pa.array([], type=pa.string()),
-            pa.array([], type=pa.bool_()),
             pa.array([], type=pa.bool_()),
             pa.array([], type=pa.bool_()),
             pa.array([], type=pa.int64()),
@@ -186,7 +178,8 @@ class ShardedAdmission:
         return self.shards
 
     def route_add(self, t: pa.Table) -> None:
-        """Driver-side routing (seed bootstrap / resume carry-over)."""
+        """Driver-side routing (seed bootstrap; resume keeps its queue on
+        the driver and reloads the seen set via load_seen)."""
         ray.get(push_candidates(t, self.shards))
 
     def load_seen(self, hashes: np.ndarray) -> None:

@@ -141,15 +141,10 @@ def crawl(
         if len(seen_hashes):
             adm.load_seen(seen_hashes)
         queue = ckpt.load_frontier_next(manifest["completed_wave"])
-        if queue is None:
-            queue = None
     else:
         os.makedirs(out_dir, exist_ok=True)
         seed_rows = seeds if seeds is not None else web.seeds()
         cand = seeds_to_candidates(seed_rows, robots=robots)
-        cand = cand.append_column(
-            "preadmitted", pa.array(np.zeros(cand.num_rows, dtype=bool))
-        )
         adm.route_add(cand)
         queue, pending_hashes, _ = adm.admit_all()
 
@@ -238,7 +233,7 @@ def crawl(
         _write_metrics(
             ckpt, wave_no, n_wave, n_err, n_docs,
             n_new=len(new_hashes),
-            n_dup=max(0, n_cand - int(len(new_hashes))),
+            n_rejected=max(0, n_cand - int(len(new_hashes))),
             wall=wall,
         )
         wr.join()
@@ -531,10 +526,12 @@ def crawl_priority(
             )
         if backlog.num_rows:
             ckpt.write_frontier_next(wave_no, backlog)
+        n_cand = cand.num_rows if cand is not None else 0
+        n_new = incoming.num_rows if incoming is not None else 0
         _write_metrics(
             ckpt, wave_no, n_wave, n_err, n_docs,
-            n_new=(incoming.num_rows if incoming is not None else 0),
-            n_dup=(cand.num_rows if cand is not None else 0),
+            n_new=n_new,
+            n_rejected=max(0, n_cand - n_new),
             wall=time.perf_counter() - wt0,
         )
         ckpt.commit_wave(wave_no, next_rank, pages_fetched, sched)
@@ -543,7 +540,10 @@ def crawl_priority(
     return _finish(ckpt, out_dir, wave_no, pages_fetched, seen, docs_emitted, t0)
 
 
-def _write_metrics(ckpt, wave_no, n_wave, n_err, n_docs, n_new, n_dup, wall):
+def _write_metrics(ckpt, wave_no, n_wave, n_err, n_docs, n_new, n_rejected,
+                   wall):
+    # rejected_urls = candidates examined but not admitted this wave
+    # (in-wave dups + already-seen + depth-gated + robots-blocked)
     urls_per_s = n_wave / wall if wall > 0 else 0.0
     t = pa.table(
         {
@@ -553,12 +553,13 @@ def _write_metrics(ckpt, wave_no, n_wave, n_err, n_docs, n_new, n_dup, wall):
             "fetched_ok": pa.array([n_wave - n_err], type=pa.int64()),
             "fetch_errors": pa.array([n_err], type=pa.int64()),
             "new_urls": pa.array([n_new], type=pa.int64()),
-            "dup_urls": pa.array([n_dup], type=pa.int64()),
+            "rejected_urls": pa.array([n_rejected], type=pa.int64()),
             "docs_emitted": pa.array([n_docs], type=pa.int64()),
             "wall_s": pa.array([wall], type=pa.float64()),
             "urls_per_s": pa.array([urls_per_s], type=pa.float64()),
             "frontier_ops_per_s": pa.array(
-                [(n_new + n_dup) / wall if wall > 0 else 0.0], type=pa.float64()
+                [(n_new + n_rejected) / wall if wall > 0 else 0.0],
+                type=pa.float64()
             ),
         }
     )

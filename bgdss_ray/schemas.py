@@ -91,7 +91,7 @@ METRICS = pa.schema(
         pa.field("fetched_ok", pa.int64()),
         pa.field("fetch_errors", pa.int64()),
         pa.field("new_urls", pa.int64()),
-        pa.field("dup_urls", pa.int64()),
+        pa.field("rejected_urls", pa.int64()),
         pa.field("docs_emitted", pa.int64()),
         pa.field("wall_s", pa.float64()),
         pa.field("urls_per_s", pa.float64()),

@@ -205,10 +205,9 @@ class WaveStage:
                     pa.array(hosts, type=pa.string()),
                     pa.array(is_pdf),
                     pa.array(blocked),
-                    pa.array(np.zeros(len(flat_url), dtype=bool)),
                 ],
                 names=["url", "parent_rank", "link_pos", "depth", "url_hash",
-                       "host", "is_pdf", "blocked", "preadmitted"],
+                       "host", "is_pdf", "blocked"],
             )
             # block until delivered: the map task finishing is the driver's
             # signal that every candidate reached its shard (acks are tiny —
@@ -271,12 +270,19 @@ def wave_stage_batch(batch: pa.Table, *, web_cfg, cfg, docs_dir=None,
     ``run_token`` is unique per crawl run: two runs over the same out dir
     reuse wave dir names, and a cached stage from the earlier run would
     silently push candidates to that run's (stale) admission shard actors.
+    The cache key is per RUN, not per wave — docs_dir/log_dir change every
+    wave and are set on the cached stage per call, so the heavy state
+    (SynthWeb, RobotsIndex, compiled regexes) genuinely survives between
+    waves. Stale runs' entries are evicted on first insert of a new run.
     """
-    key = (web_cfg, cfg, docs_dir, log_dir, run_token)
+    key = (web_cfg, cfg, run_token)
     st = _STAGE_CACHE.get(key)
     if st is None:
-        st = _STAGE_CACHE[key] = WaveStage(web_cfg, cfg, docs_dir, log_dir,
-                                           shards)
+        for k in [k for k in _STAGE_CACHE if k[2] != run_token]:
+            del _STAGE_CACHE[k]
+        st = _STAGE_CACHE[key] = WaveStage(web_cfg, cfg, shards=shards)
+    st.docs_dir = docs_dir
+    st.log_dir = log_dir
     return st(batch)
 
 

@@ -105,7 +105,8 @@ def write_xlsx(path: str, sheets: list[tuple[str, pd.DataFrame, list[float] | No
             'spreadsheetml.worksheet+xml"/>'
         )
         wb_sheets.append(
-            f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+            f'<sheet name="{escape(name, {chr(34): "&quot;"})}" '
+            f'sheetId="{i}" r:id="rId{i}"/>'
         )
         wb_rels.append(
             f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
