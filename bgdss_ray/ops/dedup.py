@@ -238,11 +238,11 @@ def hot_bucket_keys(banded, bucket_col: str = "bucket") -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
 
-def bucket_pairs_distributed(banded, hot_keys: np.ndarray, id_col: str,
-                             pair_fn=None) -> pd.DataFrame:
+def bucket_pairs_ds(banded, hot_keys: np.ndarray, id_col: str, pair_fn=None):
     """Semi-join banded rows against the broadcast hot-key set, then pair
     members inside ``groupby(bucket).map_groups`` — pair generation happens
-    on workers; only pairs (O(near-dups)) are collected."""
+    on workers. Returns the pair DATASET (may contain cross-band duplicate
+    pairs; downstream groupby/drop_duplicates collapses them)."""
     import ray
 
     ref = ray.put(np.sort(hot_keys))
@@ -255,24 +255,33 @@ def bucket_pairs_distributed(banded, hot_keys: np.ndarray, id_col: str,
         pos[pos == len(keys)] = 0
         return t.filter(pa.array(keys[pos] == b))
 
-    pairs = (
+    return (
         banded.map_batches(pick, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(fn, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def bucket_pairs_distributed(banded, hot_keys: np.ndarray, id_col: str,
+                             pair_fn=None) -> pd.DataFrame:
+    """Collected variant of :func:`bucket_pairs_ds` — only pairs
+    (O(near-dups) when ``pair_fn`` verifies in-group) reach the driver."""
+    pairs = bucket_pairs_ds(banded, hot_keys, id_col, pair_fn).to_pandas()
     if pairs.empty:
         return pd.DataFrame({c: [] for c in pairs.columns})
     return pairs.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def minhash_lsh_candidates(ds, n_perm=128, n_bands=16, seed=7, shingle_k=3):
-    """(id, text) dataset → unique candidate pair DataFrame (O(near-dups)).
+def minhash_lsh_candidates_ds(ds, n_perm=128, n_bands=16, seed=7, shingle_k=3):
+    """(id, text) dataset → candidate pair DATASET, or None when no bucket
+    has two members.
 
     Fully distributed: signatures + banding are one map pass; hot buckets
     come from a Count aggregate filtered dataset-side; members are
     semi-joined against the broadcast hot-key set and paired inside
     ``groupby(bucket).map_groups``. Nothing O(corpus) touches the driver.
+    Cross-band duplicate pairs are NOT deduped here — the distributed
+    verify (or a caller-side drop_duplicates) collapses them.
     """
     rows_per_band = n_perm // n_bands
     id_col = ds.schema().names[0]
@@ -286,8 +295,19 @@ def minhash_lsh_candidates(ds, n_perm=128, n_bands=16, seed=7, shingle_k=3):
     )
     hot = hot_bucket_keys(banded)
     if not hot.size:
+        return None
+    return bucket_pairs_ds(banded, hot, id_col)
+
+
+def minhash_lsh_candidates(ds, n_perm=128, n_bands=16, seed=7, shingle_k=3):
+    """Collected variant: unique candidate pair DataFrame (O(near-dups))."""
+    pairs_ds = minhash_lsh_candidates_ds(ds, n_perm, n_bands, seed, shingle_k)
+    if pairs_ds is None:
         return pd.DataFrame({"id_a": [], "id_b": []})
-    return bucket_pairs_distributed(banded, hot, id_col)
+    pairs = pairs_ds.to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return pairs.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
 class ShingleExploder:
@@ -322,17 +342,57 @@ class ShingleExploder:
         )
 
 
-def ngram_inverted_candidates(ds, shingle_k: int = 3, max_df: int = 5,
-                              sample_mod: int = 1) -> pd.DataFrame:
+# posting-row budget for the n-gram inverted index: above this estimated
+# volume, shingles are hash-sampled (unbiased — a shared shingle samples
+# identically in every doc). ~50M rows of two slim columns ≈ 800 MB.
+NGRAM_TARGET_POSTINGS = 50_000_000
+
+
+def derive_sample_mod(ds, shingle_k: int, id_col: str,
+                      target: int = NGRAM_TARGET_POSTINGS) -> int:
+    """Estimate total posting rows (n_docs × avg distinct shingles from a
+    small sample) and pick the smallest power-of-two hash-sampling modulus
+    that bounds the exploded volume under ``target``. Returns 1 (exact)
+    for small corpora."""
+    n_docs = ds.count()
+    if n_docs == 0:
+        return 1
+    sample = ds.limit(64).to_pandas()
+    avg = float(
+        np.mean([len(shingle_hashes(t, shingle_k)) for t in sample["text"]])
+    ) if len(sample) else 0.0
+    est = n_docs * max(avg, 1.0)
+    mod = 1
+    while est / mod > target:
+        mod *= 2
+    if mod > 1:
+        print(
+            f"[ngram_inverted_candidates] estimated {est:.3g} posting rows "
+            f"> target {target:.3g}: hash-sampling shingles at 1/{mod} "
+            "(unbiased; recall drops for pairs sharing < "
+            f"{mod} shingles)",
+            flush=True,
+        )
+    return mod
+
+
+def ngram_inverted_candidates_ds(ds, shingle_k: int = 3, max_df: int = 5,
+                                 sample_mod: int | None = None):
     """Candidate pairs from a RARE-shingle inverted index (no minhash
     approximation): explode (id, shingle) postings, keep shingles shared
     by 2..max_df documents (df==1 is useless, df>max_df is a stopword-ish
     common shingle), pair documents inside each rare posting list via
     ``groupby(bucket).map_groups``. Same distributed shape as the LSH
-    bucket machinery — only pairs reach the driver."""
+    bucket machinery — only pairs reach the driver.
+
+    ``sample_mod=None`` (default) derives an unbiased shingle-sampling
+    modulus from the corpus size so the posting explode stays bounded
+    (exact, mod 1, for small corpora); pass 1 to force exactness."""
     from ray.data.aggregate import Count
 
     id_col = ds.schema().names[0]
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(ds, shingle_k, id_col)
     banded = ds.map_batches(
         ShingleExploder(shingle_k, sample_mod),
         batch_format="pyarrow", batch_size=1024,
@@ -357,8 +417,116 @@ def ngram_inverted_candidates(ds, shingle_k: int = 3, max_df: int = 5,
     ]
     keys = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
     if not keys.size:
+        return None
+    return bucket_pairs_ds(banded, keys, id_col)
+
+
+def ngram_inverted_candidates(ds, shingle_k: int = 3, max_df: int = 5,
+                              sample_mod: int | None = None) -> pd.DataFrame:
+    """Collected variant of :func:`ngram_inverted_candidates_ds`: unique
+    candidate pair DataFrame."""
+    pairs_ds = ngram_inverted_candidates_ds(ds, shingle_k, max_df, sample_mod)
+    if pairs_ds is None:
         return pd.DataFrame({"id_a": [], "id_b": []})
-    return bucket_pairs_distributed(banded, keys, id_col)
+    pairs = pairs_ds.to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return pairs.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def verify_jaccard_pairs_ds(pairs_ds, ds, id_col: str, threshold: float,
+                            shingle_k: int = 3):
+    """Distributed exact-Jaccard verify of a candidate-pair Dataset.
+
+    Two co-group stages; texts and Jaccard math never touch the driver:
+
+    1. Pair-membership rows (node, id_a, id_b, side∈{0,1}) are unioned with
+       the pair members' text rows (semi-joined in ``map_batches`` against
+       the broadcast candidate-member id set; side=-1) and co-grouped by
+       node — each group forwards the node's text onto its membership rows.
+    2. ``groupby([id_a, id_b]).map_groups`` shingles both sides and emits
+       the pair iff exact Jaccard >= threshold. The pair-key groupby also
+       collapses cross-band duplicate candidates.
+
+    Driver memory: the candidate-member ID set (for the broadcast filter)
+    only — O(near-dup members), no texts. Returns a Dataset of
+    (id_a, id_b, jaccard) verified pairs.
+    """
+    import ray
+
+    wanted: set = set()
+    for b in pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_size=8192, batch_format="pandas"
+    ):
+        wanted.update(b["id_a"])
+        wanted.update(b["id_b"])
+    wanted_ref = ray.put(wanted)
+
+    def memberships(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([b["id_a"], b["id_b"]], ignore_index=True),
+                "id_a": pd.concat([b["id_a"], b["id_a"]], ignore_index=True),
+                "id_b": pd.concat([b["id_b"], b["id_b"]], ignore_index=True),
+                "side": np.repeat(
+                    np.array([0, 1], dtype=np.int8), len(b)
+                ),
+                "text": "",
+            }
+        )
+
+    def text_rows(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(wanted_ref)
+        keep = b[b[id_col].isin(w)]
+        ids = keep[id_col]
+        return pd.DataFrame(
+            {
+                "node": ids,
+                "id_a": ids,  # placeholders (type-stable); ignored at side=-1
+                "id_b": ids,
+                "side": np.full(len(keep), -1, dtype=np.int8),
+                "text": keep["text"],
+            }
+        )
+
+    member_ds = pairs_ds.map_batches(memberships, batch_format="pandas")
+    texts_ds = ds.map_batches(text_rows, batch_format="pandas")
+
+    def forward(g: pd.DataFrame) -> pd.DataFrame:
+        tr = g[g["side"] == -1]
+        mem = g[g["side"] >= 0]
+        if tr.empty or mem.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "side": [], "text": []}
+            )
+        return pd.DataFrame(
+            {"id_a": mem["id_a"], "id_b": mem["id_b"], "side": mem["side"],
+             "text": tr["text"].iloc[0]}
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["side"] == 0, "text"]
+        b = g.loc[g["side"] == 1, "text"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        j = jaccard(
+            shingle_hashes(a.iloc[0], shingle_k),
+            shingle_hashes(b.iloc[0], shingle_k),
+        )
+        if j < threshold:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame(
+            {"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
+             "jaccard": [j]}
+        )
+
+    return (
+        member_ds.union(texts_ds)
+        .groupby("node")
+        .map_groups(forward, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(verify, batch_format="pandas")
+    )
 
 
 def verify_jaccard_pairs(pairs: pd.DataFrame, texts: dict, threshold: float,
@@ -629,6 +797,16 @@ def simhash_candidates(ds, max_hamming: int = 3, seed: int = 11) -> pd.DataFrame
 
 
 # --------------------------------------------------------- embedding LSH
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Seeded Gaussian hyperplane matrix, built once per worker process
+    (deterministic across workers — same seed, same matrix)."""
+    return np.random.RandomState(seed).standard_normal((dim, n_planes))
+
+
 def embedding_neardup_pairs(
     ds,
     threshold: float = 0.95,
@@ -646,9 +824,7 @@ def embedding_neardup_pairs(
     """
     def stage(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        planes = np.random.RandomState(seed).standard_normal(
-            (vecs.shape[1], n_planes)
-        )
+        planes = _hyperplanes(vecs.shape[1], n_planes, seed)
         signs = (vecs @ planes) > 0
         key = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
         norm = np.linalg.norm(vecs, axis=1)
@@ -722,21 +898,24 @@ def near_dedup_minhash(ds, threshold: float = 0.8, n_perm=128, n_bands=16,
     """Full minhash near-dedup: returns an (id, cluster) keep-map Dataset —
     every input id, cluster = min id of its near-dup component.
 
-    Only candidate pairs + verified-pair members' texts ever reach the
-    driver (bounded by true near-dups); the keep-map itself streams — the
-    component map (O(near-dup members)) is broadcast and applied inside
+    Fully distributed verify: candidate pairs stay a Dataset, texts are
+    co-grouped onto pair memberships on workers, and exact Jaccard runs
+    inside ``map_groups`` (see :func:`verify_jaccard_pairs_ds`) — only
+    VERIFIED pairs (true near-dups) ever reach the driver, for the
+    connected-components fold. The keep-map itself streams — the component
+    map (O(near-dup members)) is broadcast and applied inside
     ``map_batches``, never an O(corpus) driver list.
     """
     import ray
 
-    cand = minhash_lsh_candidates(ds, n_perm, n_bands, seed, shingle_k)
+    cand_ds = minhash_lsh_candidates_ds(ds, n_perm, n_bands, seed, shingle_k)
     ids_only = ds.select_columns([id_col])
-    if cand.empty:
+    if cand_ds is None:
         comp: dict = {}
     else:
-        wanted = set(cand["id_a"]) | set(cand["id_b"])
-        texts = _texts_for_ids(ds, wanted, id_col)
-        verified = verify_jaccard_pairs(cand, texts, threshold, shingle_k)
+        verified = verify_jaccard_pairs_ds(
+            cand_ds, ds, id_col, threshold, shingle_k
+        ).to_pandas()
         comp = connected_components(verified)
     comp_ref = ray.put(comp)
 

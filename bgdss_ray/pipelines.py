@@ -171,19 +171,21 @@ def dedup_simhash_pipeline(sf_dir: str):
 
 def dedup_ngram_jaccard_pipeline(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs: candidates from the RARE-shingle
-    inverted index (no minhash approximation), then exact Jaccard verify."""
+    inverted index (no minhash approximation; shingle sampling auto-derived
+    from corpus size), then exact Jaccard verify distributed via the
+    co-group stage — texts never reach the driver."""
     from .ops.dedup import (
-        _texts_for_ids,
-        ngram_inverted_candidates,
-        verify_jaccard_pairs,
+        ngram_inverted_candidates_ds,
+        verify_jaccard_pairs_ds,
     )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    cand = ngram_inverted_candidates(ds, max_df=5)
-    if cand.empty:
+    cand = ngram_inverted_candidates_ds(ds, max_df=5)
+    if cand is None:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    texts = _texts_for_ids(ds, set(cand["id_a"]) | set(cand["id_b"]), "doc_id")
-    out = verify_jaccard_pairs(cand, texts, threshold=0.7)
+    out = verify_jaccard_pairs_ds(cand, ds, "doc_id", threshold=0.7).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     out["jaccard"] = out["jaccard"].round(6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

@@ -182,3 +182,66 @@ def test_ngram_inverted_index_candidates(corpus_ds):
     vg = {tuple(sorted((a, b))) for a, b in zip(ver["id_a"], ver["id_b"])}
     assert (200, 201) in vg
     assert all(j >= 0.5 for j in ver["jaccard"])
+
+
+def test_distributed_verify_matches_driver_verify(corpus_ds):
+    """verify_jaccard_pairs_ds (co-group verify on workers) returns exactly
+    the same verified pair set + jaccard values as the driver-side
+    verify_jaccard_pairs over the same candidates."""
+    from bgdss_ray.ops.dedup import (
+        _texts_for_ids,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_ds,
+        verify_jaccard_pairs,
+        verify_jaccard_pairs_ds,
+    )
+
+    cand = minhash_lsh_candidates(corpus_ds)
+    texts = _texts_for_ids(corpus_ds, set(cand["id_a"]) | set(cand["id_b"]),
+                           "doc_id")
+    want = verify_jaccard_pairs(cand, texts, threshold=0.5)
+    cand_ds = minhash_lsh_candidates_ds(corpus_ds)
+    got = verify_jaccard_pairs_ds(
+        cand_ds, corpus_ds, "doc_id", threshold=0.5
+    ).to_pandas()
+    key = lambda df: sorted(  # noqa: E731
+        (int(a), int(b), round(float(j), 9))
+        for a, b, j in zip(df["id_a"], df["id_b"], df["jaccard"])
+    )
+    assert key(got) == key(want)
+    assert len(got) > 0
+
+
+def test_ngram_sample_mod_settings(corpus_ds):
+    """Planted dups are found at both the exact (mod 1) and sampled
+    settings, and sampling actually bounds the posting volume."""
+    from bgdss_ray.ops.dedup import (
+        ShingleExploder,
+        derive_sample_mod,
+        ngram_inverted_candidates,
+    )
+
+    # auto derivation picks mod 1 (exact) for this tiny corpus
+    assert derive_sample_mod(corpus_ds, 3, "doc_id") == 1
+    # ...and a bounded modulus when the target is tiny
+    mod = derive_sample_mod(corpus_ds, 3, "doc_id", target=100)
+    assert mod > 1
+
+    for sample_mod in (1, 2):
+        cand = ngram_inverted_candidates(corpus_ds, max_df=6,
+                                         sample_mod=sample_mod)
+        got = {tuple(sorted((a, b)))
+               for a, b in zip(cand["id_a"], cand["id_b"])}
+        # the shingle-rich near-dup group survives sampling; the 3-shingle
+        # exact-dup pair (200, 201) is only guaranteed at mod 1 (documented
+        # recall drop for pairs sharing < mod shingles)
+        a_pairs = {(100, 101), (100, 102), (101, 102)}
+        assert got & a_pairs, f"sample_mod={sample_mod}"
+        if sample_mod == 1:
+            assert (200, 201) in got
+
+    # posting-volume assertion: mod-S explode emits ~1/S of the rows
+    batch = pa.Table.from_pandas(_corpus(), preserve_index=False)
+    full = ShingleExploder(3, 1)(batch).num_rows
+    sampled = ShingleExploder(3, 4)(batch).num_rows
+    assert sampled < full / 2
