@@ -69,6 +69,11 @@ DISTRIBUTED_DEDUP_THRESHOLD = 50_000_000
 # smaller waves run as stateless tasks with per-worker stage caches.
 ACTOR_POOL_WAVE_THRESHOLD = 20_000
 
+# Seed lists at least this large bootstrap distributed (canonicalize + hash +
+# robots on workers, pushed straight to the admission shards); smaller lists
+# stay on the driver — one Ray execution costs more than the python.
+SEED_DISTRIBUTED_THRESHOLD = 20_000
+
 CRAWL_LOG_COLUMNS = ["url", "url_hash", "host", "depth", "status", "attempts",
                      "content_len", "kind", "crawl_seq", "vtime"]
 
@@ -144,11 +149,67 @@ def crawl(
     else:
         os.makedirs(out_dir, exist_ok=True)
         seed_rows = seeds if seeds is not None else web.seeds()
-        cand = seeds_to_candidates(seed_rows, robots=robots)
-        adm.route_add(cand)
+        if len(seed_rows) >= SEED_DISTRIBUTED_THRESHOLD:
+            # distributed bootstrap: canonicalize/hash/robots on workers,
+            # push straight to the admission shards (warms the same worker
+            # pool + shard actors wave 0 uses) — no O(seeds) driver python
+            from .wavestage import seed_stage_batch
+            import ray as _ray
+
+            raw = pa.table(
+                {
+                    "url": [r["url"] for r in seed_rows],
+                    "seq": np.asarray([r["seq"] for r in seed_rows],
+                                      dtype=np.int32),
+                }
+            )
+            total_cpus = float(_ray.cluster_resources().get("CPU", concurrency))
+            task_cpus = max(1.0, total_cpus / max(1, concurrency))
+            n_blocks = max(1, min(concurrency * 2, -(-raw.num_rows // 2048)))
+            step = -(-raw.num_rows // n_blocks)
+            slices = [raw.slice(i, step) for i in range(0, raw.num_rows, step)]
+            rd.from_arrow(slices).map_batches(
+                partial(seed_stage_batch, web_cfg=web_cfg, cfg=cfg,
+                        shards=adm.handles(), run_token=run_token),
+                batch_format="pyarrow", batch_size=None, num_cpus=task_cpus,
+            ).materialize()
+        else:
+            cand = seeds_to_candidates(seed_rows, robots=robots)
+            adm.route_add(cand)
         queue, pending_hashes, _ = adm.admit_all()
 
     profile = bool(os.environ.get("BGDSS_PROFILE"))
+    if profile:
+        print(f"[bootstrap] {time.perf_counter() - t0:.2f}", flush=True)
+
+    import threading
+
+    class _DumpedState:
+        """Frozen politeness snapshot for a deferred commit (dump_state is
+        taken on the driver BEFORE the next wave mutates the scheduler)."""
+
+        def __init__(self, d: dict):
+            self._d = d
+
+        def dump_state(self) -> dict:
+            return self._d
+
+    # wave k's checkpoint writes + manifest commit run in this thread while
+    # the driver schedules and executes wave k+1 — the atomic-commit story
+    # is unchanged (seen/frontier/metrics land before the manifest write,
+    # commits stay strictly ordered because each wave joins its
+    # predecessor's thread before starting its own), and errors re-raise on
+    # join so a failed write is never committed over.
+    pending_wr: threading.Thread | None = None
+    pending_err: list[BaseException] = []
+
+    def _join_pending():
+        nonlocal pending_wr
+        if pending_wr is not None:
+            pending_wr.join()
+            pending_wr = None
+            if pending_err:
+                raise pending_err[0]
 
     while queue is not None and queue.num_rows > 0:
         budget_left = cfg.max_pages - pages_fetched
@@ -208,43 +269,53 @@ def crawl(
                   f"sched={t_adm - wt0:.2f}", flush=True)
 
         # --- checkpoint -----------------------------------------------
-        # writes overlap the driver's remaining wave work; the manifest
-        # commit below joins first, so atomicity is unchanged
-        import threading
-
+        # join + error-check the PREVIOUS wave's writes (its commit has
+        # then landed), snapshot this wave's politeness state, and hand
+        # this wave's writes + commit to the background thread — they
+        # overlap wave k+1's scheduling and map execution.
         delta = (
             np.concatenate([pending_hashes, new_hashes])
             if len(pending_hashes) else new_hashes
         )
         pending_hashes = np.empty(0, dtype=np.uint64)
-        werr: list[BaseException] = []
+        wall = time.perf_counter() - wt0
+        t_m = time.perf_counter()
+        _join_pending()
+        t_j = time.perf_counter()
+        sched_snap = _DumpedState(sched.dump_state())
 
-        def _writes(w=wave_no, nh=delta, q=queue):
+        def _writes(w=wave_no, nh=delta, q=queue, nr=next_rank,
+                    pf=pages_fetched, ss=sched_snap, nw=n_wave, ne=n_err,
+                    nd=n_docs, nnew=len(new_hashes), ncand=n_cand,
+                    wl=wall):
             try:
                 ckpt.write_seen_delta(w, nh)
                 if q.num_rows:
                     ckpt.write_frontier_next(w, q)
-            except BaseException as e:  # re-raised after join, before commit
-                werr.append(e)
+                _write_metrics(
+                    ckpt, w, nw, ne, nd,
+                    n_new=nnew,
+                    n_rejected=max(0, ncand - nnew),
+                    wall=wl,
+                )
+                # a failed write above raises BEFORE this commit — resume
+                # can never observe a manifest ahead of its data
+                ckpt.commit_wave(w, nr, pf, ss)
+            except BaseException as e:  # re-raised at the next join
+                pending_err.append(e)
 
-        wr = threading.Thread(target=_writes)
-        wr.start()
-        wall = time.perf_counter() - wt0
-        _write_metrics(
-            ckpt, wave_no, n_wave, n_err, n_docs,
-            n_new=len(new_hashes),
-            n_rejected=max(0, n_cand - int(len(new_hashes))),
-            wall=wall,
-        )
-        wr.join()
-        if werr:
-            # a failed seen/frontier write must NOT be committed over —
-            # resume would re-crawl or terminate early (silent data loss)
-            raise werr[0]
-        ckpt.commit_wave(wave_no, next_rank, pages_fetched, sched)
+        pending_wr = threading.Thread(target=_writes)
+        pending_wr.start()
+        if profile:
+            print(f"[ckpt wave {wave_no}] prev_join={t_j - t_m:.2f} "
+                  f"snap={time.perf_counter() - t_j:.2f}", flush=True)
         wave_no += 1
 
-    return _finish(ckpt, out_dir, wave_no, pages_fetched, adm, docs_emitted, t0)
+    _join_pending()
+    res = _finish(ckpt, out_dir, wave_no, pages_fetched, adm, docs_emitted, t0)
+    if profile:
+        print(f"[finish] {res.wall_s:.2f} total", flush=True)
+    return res
 
 
 def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,

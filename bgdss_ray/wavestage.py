@@ -286,6 +286,62 @@ def wave_stage_batch(batch: pa.Table, *, web_cfg, cfg, docs_dir=None,
     return st(batch)
 
 
+def seed_stage_batch(batch: pa.Table, *, web_cfg, cfg, shards,
+                     run_token=None) -> pa.Table:
+    """Distributed seed bootstrap: canonicalize + host/kind/robots/hash a
+    slice of the raw seed list on a WORKER and push the candidate rows
+    hash-routed to the admission shards (one shared plasma object per
+    batch), exactly like the wave stage pushes discovered links. Returns a
+    single count row. Replaces the O(seeds) driver python of
+    ``seeds_to_candidates`` for large seed lists — at 10^10-frontier scale
+    a seed list is itself corpus-sized.
+
+    Reuses the per-worker stage cache so the RobotsIndex built here
+    survives into wave 0.
+    """
+    import pandas as pd
+    import ray as _ray
+
+    from .admission import push_candidates_shared
+    from .frontier import hosts_and_kinds, robots_allowed_mask
+    from .urlnorm import canonicalize, url_hash64
+
+    key = (web_cfg, cfg, run_token)
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        for k in [k for k in _STAGE_CACHE if k[2] != run_token]:
+            del _STAGE_CACHE[k]
+        st = _STAGE_CACHE[key] = WaveStage(web_cfg, cfg, shards=shards)
+
+    urls = [canonicalize(u) for u in batch.column("url").to_pylist()]
+    seqs = batch.column("seq").to_numpy(zero_copy_only=False)
+    hosts, kinds = hosts_and_kinds(urls) if urls else ([], [])
+    is_pdf = np.asarray([k == "pdf" for k in kinds], dtype=bool)
+    if st.robots is not None and urls:
+        blocked = ~robots_allowed_mask(pd.Series(urls), pd.Series(hosts),
+                                       st.robots)
+    else:
+        blocked = np.zeros(len(urls), dtype=bool)
+    cand = pa.Table.from_arrays(
+        [
+            pa.array(urls, type=pa.string()),
+            pa.array(np.full(len(urls), -1, dtype=np.int64)),
+            pa.array(np.asarray(seqs, dtype=np.int32)),
+            pa.array(np.zeros(len(urls), dtype=np.int32)),
+            pa.array(url_hash64(urls), type=pa.uint64()),
+            pa.array(hosts, type=pa.string()),
+            pa.array(is_pdf),
+            pa.array(blocked),
+        ],
+        names=["url", "parent_rank", "link_pos", "depth", "url_hash",
+               "host", "is_pdf", "blocked"],
+    )
+    _ray.get(push_candidates_shared(cand, shards))
+    return pa.Table.from_arrays(
+        [pa.array([len(urls)], type=pa.int64())], names=["n_seeds"]
+    )
+
+
 def explode_links(table: pa.Table) -> pa.Table:
     """Collected (crawl_seq, depth, links) columns → candidate rows
     (url, title, depth, parent_rank, link_pos). Fully vectorized with Arrow

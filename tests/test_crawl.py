@@ -321,3 +321,23 @@ def test_resume_overwrites_partial_wave_files(tmp_path, oracle_result):
     assert log.column("url").to_pylist() == oracle_result.crawl_order
     seen_engine = set(int(h) for h in CrawlCheckpoint(out).load_seen_upto(res.waves + 1))
     assert seen_engine == oracle_result.seen
+
+
+def test_distributed_seed_bootstrap_matches(tmp_path, oracle_result,
+                                            monkeypatch, ray_session):
+    """Forcing the distributed seed bootstrap (worker-side canonicalize +
+    shard push) yields the exact oracle crawl order — parity with the
+    driver-side seeds_to_candidates path."""
+    import bgdss_ray.pipeline as pl
+
+    monkeypatch.setattr(pl, "SEED_DISTRIBUTED_THRESHOLD", 1)
+    out = str(tmp_path / "c")
+    crawl(WEB, out, CFG)
+    log = _engine_log(CrawlCheckpoint(out))
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+    ckpt = CrawlCheckpoint(out)
+    waves = max(
+        ckpt.read_all("metrics").column("wave").to_pylist()
+    )
+    seen_engine = set(int(h) for h in ckpt.load_seen_upto(waves + 1))
+    assert seen_engine == oracle_result.seen
