@@ -148,32 +148,41 @@ def crawl(
         queue = ckpt.load_frontier_next(manifest["completed_wave"])
     else:
         os.makedirs(out_dir, exist_ok=True)
-        seed_rows = seeds if seeds is not None else web.seeds()
-        if len(seed_rows) >= SEED_DISTRIBUTED_THRESHOLD:
-            # distributed bootstrap: canonicalize/hash/robots on workers,
-            # push straight to the admission shards (warms the same worker
-            # pool + shard actors wave 0 uses) — no O(seeds) driver python
+        est_seeds = (
+            len(seeds) if seeds is not None
+            else len(web.hosts) * web.seed_capacity_per_host // 2
+        )
+        if seeds is None and est_seeds >= SEED_DISTRIBUTED_THRESHOLD and (
+            len(web.hosts) * web.seed_capacity_per_host < 2**31
+        ):
+            # distributed seed GENERATION: workers synthesize their host
+            # range (capacity-spaced seqs — same okey ordering, no global
+            # prefix sum), canonicalize/hash/robots, and push straight to
+            # the admission shards — the seed list never exists on the
+            # driver (at 10^10-frontier scale it is itself corpus-sized)
+            from .wavestage import seed_gen_stage_batch
+
+            _run_seed_stage(
+                _host_range_spec(len(web.hosts), concurrency),
+                seed_gen_stage_batch, web_cfg, cfg, adm, run_token,
+                concurrency,
+            )
+        elif seeds is not None and len(seeds) >= SEED_DISTRIBUTED_THRESHOLD:
+            # explicit large seed list: ship (url, seq) slices to workers
+            # for canonicalize/hash/robots + shard push
             from .wavestage import seed_stage_batch
-            import ray as _ray
 
             raw = pa.table(
                 {
-                    "url": [r["url"] for r in seed_rows],
-                    "seq": np.asarray([r["seq"] for r in seed_rows],
+                    "url": [r["url"] for r in seeds],
+                    "seq": np.asarray([r["seq"] for r in seeds],
                                       dtype=np.int32),
                 }
             )
-            total_cpus = float(_ray.cluster_resources().get("CPU", concurrency))
-            task_cpus = max(1.0, total_cpus / max(1, concurrency))
-            n_blocks = max(1, min(concurrency * 2, -(-raw.num_rows // 2048)))
-            step = -(-raw.num_rows // n_blocks)
-            slices = [raw.slice(i, step) for i in range(0, raw.num_rows, step)]
-            rd.from_arrow(slices).map_batches(
-                partial(seed_stage_batch, web_cfg=web_cfg, cfg=cfg,
-                        shards=adm.handles(), run_token=run_token),
-                batch_format="pyarrow", batch_size=None, num_cpus=task_cpus,
-            ).materialize()
+            _run_seed_stage(raw, seed_stage_batch, web_cfg, cfg, adm,
+                            run_token, concurrency)
         else:
+            seed_rows = seeds if seeds is not None else web.seeds()
             cand = seeds_to_candidates(seed_rows, robots=robots)
             adm.route_add(cand)
         queue, pending_hashes, _ = adm.admit_all()
@@ -220,16 +229,16 @@ def crawl(
         sel = queue.slice(0, n_wave)
         rest = queue.slice(n_wave)
 
-        host_series = sel.column("host").to_pandas()
+        host_col = sel.column("host")
         kinds_np = sel.column("is_pdf").to_numpy(zero_copy_only=False)
         delays = None
         if robots is not None:
             delays = {
                 h: robots.crawl_delay(h)
-                for h in host_series.unique()
+                for h in pa.compute.unique(host_col).to_pylist()
                 if robots.crawl_delay(h) is not None
             }
-        vtimes = sched.assign(host_series, kinds_np, delays)
+        vtimes = sched.assign(host_col, kinds_np, delays)
         wave = pa.Table.from_arrays(
             [
                 sel.column("url"),
@@ -316,6 +325,34 @@ def crawl(
     if profile:
         print(f"[finish] {res.wall_s:.2f} total", flush=True)
     return res
+
+
+def _host_range_spec(n_hosts: int, concurrency: int) -> pa.Table:
+    """(host_lo, host_hi) spec rows — one per generation task, ~2x the
+    fetch concurrency for load balance."""
+    n_tasks = max(1, min(concurrency * 2, n_hosts))
+    bounds = np.linspace(0, n_hosts, n_tasks + 1).astype(np.int64)
+    return pa.table({"host_lo": bounds[:-1], "host_hi": bounds[1:]})
+
+
+def _run_seed_stage(spec: pa.Table, stage_fn, web_cfg, cfg, adm, run_token,
+                    concurrency) -> None:
+    """One Ray execution of a seed bootstrap stage over spec/raw slices
+    (fractional num_cpus like the wave maps — admission shards + driver
+    keep headroom)."""
+    import ray as _ray
+
+    total_cpus = float(_ray.cluster_resources().get("CPU", concurrency))
+    task_cpus = max(1.0, total_cpus / max(1, concurrency))
+    n_blocks = max(1, min(concurrency * 2, -(-spec.num_rows // 2048)
+                          if spec.num_rows > 4096 else spec.num_rows))
+    step = -(-spec.num_rows // n_blocks)
+    slices = [spec.slice(i, step) for i in range(0, spec.num_rows, step)]
+    rd.from_arrow(slices).map_batches(
+        partial(stage_fn, web_cfg=web_cfg, cfg=cfg,
+                shards=adm.handles(), run_token=run_token),
+        batch_format="pyarrow", batch_size=None, num_cpus=task_cpus,
+    ).materialize()
 
 
 def _execute_wave(wave, web_cfg, cfg, concurrency, ckpt, wave_no,

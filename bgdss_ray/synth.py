@@ -136,6 +136,44 @@ class SynthWeb:
                         seq += 1
         return rows
 
+    @property
+    def seed_capacity_per_host(self) -> int:
+        """Upper bound on seed rows one host can emit (each (year, month)
+        yields at most the seed + one duplicate variant)."""
+        return len(self.cfg.years) * len(self.cfg.months) * 2
+
+    def seeds_for_hosts(self, lo: int, hi: int) -> list[dict]:
+        """Seed rows for hosts[lo:hi] with CAPACITY-SPACED sequence numbers:
+        seq = host_idx * seed_capacity_per_host + local position. The seq
+        ORDER matches :meth:`seeds` exactly (hosts in index order, (y, m)
+        in loop order, dup right after its original) — only the values are
+        sparse — so admission's first-occurrence-wins okey ordering is
+        identical. This is what lets seed generation itself run
+        distributed: a worker needs no global prefix sum, just its host
+        range."""
+        cap = self.seed_capacity_per_host
+        hosts = self.hosts
+        rows: list[dict] = []
+        for i in range(lo, min(hi, len(hosts))):
+            host = hosts[i]
+            seq = i * cap
+            for y in self.cfg.years:
+                for m in self.cfg.months:
+                    if i >= 2 and self._u("seedsel", host, y, m) < 0.55:
+                        continue
+                    url = self.listing_url(host, y, m, 1)
+                    title = f"Resoluções {MONTH_NAMES_PT[m - 1]} {y}"
+                    rows.append({"url": url, "title": title, "seq": seq})
+                    seq += 1
+                    if self._u("seeddup", host, y, m) < 0.15:
+                        dup = (
+                            f"HTTPS://{host.upper()}/resolucoes?page=1&by_year={y}"
+                            f"&by_month={m}&ordering=newest#top"
+                        )
+                        rows.append({"url": dup, "title": title, "seq": seq})
+                        seq += 1
+        return rows
+
     # -- routing ---------------------------------------------------------
     @staticmethod
     def classify(url_canon: str) -> str:

@@ -286,19 +286,22 @@ def wave_stage_batch(batch: pa.Table, *, web_cfg, cfg, docs_dir=None,
     return st(batch)
 
 
-def seed_stage_batch(batch: pa.Table, *, web_cfg, cfg, shards,
-                     run_token=None) -> pa.Table:
-    """Distributed seed bootstrap: canonicalize + host/kind/robots/hash a
-    slice of the raw seed list on a WORKER and push the candidate rows
-    hash-routed to the admission shards (one shared plasma object per
-    batch), exactly like the wave stage pushes discovered links. Returns a
-    single count row. Replaces the O(seeds) driver python of
-    ``seeds_to_candidates`` for large seed lists — at 10^10-frontier scale
-    a seed list is itself corpus-sized.
+def _cached_stage(web_cfg, cfg, shards, run_token) -> "WaveStage":
+    key = (web_cfg, cfg, run_token)
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        for k in [k for k in _STAGE_CACHE if k[2] != run_token]:
+            del _STAGE_CACHE[k]
+        st = _STAGE_CACHE[key] = WaveStage(web_cfg, cfg, shards=shards)
+    return st
 
-    Reuses the per-worker stage cache so the RobotsIndex built here
-    survives into wave 0.
-    """
+
+def _push_seed_candidates(st: "WaveStage", raw_urls: list[str],
+                          seqs, shards) -> pa.Table:
+    """Canonicalize + host/kind/robots/hash seed URLs on a WORKER and push
+    the candidate rows hash-routed to the admission shards (one shared
+    plasma object per batch), exactly like the wave stage pushes
+    discovered links. Returns a single count row."""
     import pandas as pd
     import ray as _ray
 
@@ -306,15 +309,7 @@ def seed_stage_batch(batch: pa.Table, *, web_cfg, cfg, shards,
     from .frontier import hosts_and_kinds, robots_allowed_mask
     from .urlnorm import canonicalize, url_hash64
 
-    key = (web_cfg, cfg, run_token)
-    st = _STAGE_CACHE.get(key)
-    if st is None:
-        for k in [k for k in _STAGE_CACHE if k[2] != run_token]:
-            del _STAGE_CACHE[k]
-        st = _STAGE_CACHE[key] = WaveStage(web_cfg, cfg, shards=shards)
-
-    urls = [canonicalize(u) for u in batch.column("url").to_pylist()]
-    seqs = batch.column("seq").to_numpy(zero_copy_only=False)
+    urls = [canonicalize(u) for u in raw_urls]
     hosts, kinds = hosts_and_kinds(urls) if urls else ([], [])
     is_pdf = np.asarray([k == "pdf" for k in kinds], dtype=bool)
     if st.robots is not None and urls:
@@ -339,6 +334,44 @@ def seed_stage_batch(batch: pa.Table, *, web_cfg, cfg, shards,
     _ray.get(push_candidates_shared(cand, shards))
     return pa.Table.from_arrays(
         [pa.array([len(urls)], type=pa.int64())], names=["n_seeds"]
+    )
+
+
+def seed_stage_batch(batch: pa.Table, *, web_cfg, cfg, shards,
+                     run_token=None) -> pa.Table:
+    """Distributed seed bootstrap over an explicit raw seed list: each
+    batch carries (url, seq) rows. Replaces the O(seeds) driver python of
+    ``seeds_to_candidates`` for large seed lists — at 10^10-frontier scale
+    a seed list is itself corpus-sized. Reuses the per-worker stage cache
+    so the RobotsIndex built here survives into wave 0."""
+    st = _cached_stage(web_cfg, cfg, shards, run_token)
+    return _push_seed_candidates(
+        st,
+        batch.column("url").to_pylist(),
+        batch.column("seq").to_numpy(zero_copy_only=False),
+        shards,
+    )
+
+
+def seed_gen_stage_batch(batch: pa.Table, *, web_cfg, cfg, shards,
+                         run_token=None) -> pa.Table:
+    """Distributed seed GENERATION: each batch carries (host_lo, host_hi)
+    spec rows; the worker synthesizes its host range's seed rows
+    (capacity-spaced seqs — see SynthWeb.seeds_for_hosts — so no global
+    prefix sum is needed) and pushes them like seed_stage_batch. The seed
+    list never exists on the driver at all."""
+    st = _cached_stage(web_cfg, cfg, shards, run_token)
+    web = st.fetcher.web
+    rows: list[dict] = []
+    for lo, hi in zip(
+        batch.column("host_lo").to_pylist(), batch.column("host_hi").to_pylist()
+    ):
+        rows.extend(web.seeds_for_hosts(lo, hi))
+    return _push_seed_candidates(
+        st,
+        [r["url"] for r in rows],
+        np.asarray([r["seq"] for r in rows], dtype=np.int64),
+        shards,
     )
 
 

@@ -341,3 +341,30 @@ def test_distributed_seed_bootstrap_matches(tmp_path, oracle_result,
     )
     seen_engine = set(int(h) for h in ckpt.load_seen_upto(waves + 1))
     assert seen_engine == oracle_result.seen
+
+
+def test_distributed_explicit_seed_list_matches(tmp_path, oracle_result,
+                                                monkeypatch, ray_session):
+    """The explicit-seed-list distributed path (url/seq slices shipped to
+    workers) also reproduces the oracle crawl order."""
+    import bgdss_ray.pipeline as pl
+
+    monkeypatch.setattr(pl, "SEED_DISTRIBUTED_THRESHOLD", 1)
+    out = str(tmp_path / "c")
+    crawl(WEB, out, CFG, seeds=SynthWeb(WEB).seeds())
+    log = _engine_log(CrawlCheckpoint(out))
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+
+
+def test_seeds_for_hosts_matches_seeds():
+    """Capacity-spaced distributed generation covers the same (url, title)
+    rows in the same order as the sequential seeds()."""
+    web = SynthWeb(WEB)
+    want = web.seeds()
+    got = []
+    for lo in range(0, len(web.hosts), 2):
+        got.extend(web.seeds_for_hosts(lo, lo + 2))
+    assert [r["url"] for r in got] == [r["url"] for r in want]
+    # sparse seqs are strictly increasing in the same order
+    seqs = [r["seq"] for r in got]
+    assert seqs == sorted(seqs)
