@@ -116,8 +116,24 @@ class CrawlCheckpoint:
         return np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
 
     def load_frontier_next(self, wave: int) -> pa.Table | None:
-        p = os.path.join(self.dir, "frontier_next", f"wave={wave}", "part-0.parquet")
-        return pq.read_table(p) if os.path.exists(p) else None
+        """Read the wave's frontier dir — one driver-written part file OR
+        several executor-written files (Dataset.write_parquet)."""
+        d = os.path.join(self.dir, "frontier_next", f"wave={wave}")
+        if not os.path.isdir(d):
+            return None
+        files = sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        if not files:
+            return None
+        return pa.concat_tables(
+            [pq.read_table(os.path.join(d, f)) for f in files]
+        )
+
+    def frontier_next_dir(self, wave: int) -> str:
+        """Path for Dataset-written frontier checkpoints (distributed
+        priority backlog); creates the dir."""
+        return self.wave_dir("frontier_next", wave)
 
     def read_all(self, kind: str) -> pa.Table | None:
         """Concatenate all wave partitions of documents/crawl_log/metrics.

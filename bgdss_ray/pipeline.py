@@ -74,6 +74,12 @@ ACTOR_POOL_WAVE_THRESHOLD = 20_000
 # stay on the driver — one Ray execution costs more than the python.
 SEED_DISTRIBUTED_THRESHOLD = 20_000
 
+# Priority-mode backlogs above this row count stop living on the driver:
+# the backlog becomes ONLY its checkpointed parquet partition, selection
+# runs as per-host heads in groupby(host).map_groups, and the driver holds
+# O(hosts x cap) heads + O(wave) selected rows. Sticky once entered.
+PRIORITY_DISTRIBUTED_THRESHOLD = 2_000_000
+
 CRAWL_LOG_COLUMNS = ["url", "url_hash", "host", "depth", "status", "attempts",
                      "content_len", "kind", "crawl_seq", "vtime"]
 
@@ -565,6 +571,11 @@ def crawl_priority(
     wave_no = 0
     pending_hashes = np.empty(0, dtype=np.uint64)
 
+    # distributed-backlog state (see PRIORITY_DISTRIBUTED_THRESHOLD)
+    mode_ds = False
+    backlog_dir: str | None = None
+    n_backlog = 0
+
     manifest = ckpt.load_manifest() if resume else None
     if manifest is not None:
         wave_no = manifest["completed_wave"] + 1
@@ -574,23 +585,55 @@ def crawl_priority(
         seen_hashes = ckpt.load_seen_upto(manifest["completed_wave"])
         if len(seen_hashes):
             seen.check_and_add(seen_hashes)
-        backlog = ckpt.load_frontier_next(manifest["completed_wave"])
-        if backlog is not None and backlog.num_rows == 0:
-            backlog = None
+        fdir = os.path.join(
+            out_dir, "frontier_next", f"wave={manifest['completed_wave']}"
+        )
+        n_files = (
+            len([f for f in os.listdir(fdir) if f.endswith(".parquet")])
+            if os.path.isdir(fdir) else 0
+        )
+        backlog = None
+        if n_files:
+            n = rd.read_parquet(fdir).count()  # parquet-metadata count
+            if n > PRIORITY_DISTRIBUTED_THRESHOLD:
+                mode_ds, backlog_dir, n_backlog = True, fdir, n
+            else:
+                backlog = ckpt.load_frontier_next(manifest["completed_wave"])
+                if backlog is not None and backlog.num_rows == 0:
+                    backlog = None
     else:
         seed_rows = seeds if seeds is not None else web.seeds()
         backlog, pending_hashes = to_backlog(
             dedup_candidates(seeds_to_candidates(seed_rows, robots=robots))
         )
 
-    while backlog is not None and backlog.num_rows > 0:
+    from .priority import select_wave_ds
+
+    while (n_backlog if mode_ds
+           else (backlog.num_rows if backlog is not None else 0)) > 0:
         wt0 = time.perf_counter()
         budget_left = cfg.max_pages - pages_fetched
         if budget_left <= 0:
             break
-        selected, backlog = select_wave(
-            backlog, min(wave_cap, budget_left), per_host_cap
-        )
+        if not mode_ds and backlog.num_rows > PRIORITY_DISTRIBUTED_THRESHOLD:
+            # spill to parquet once and switch: wave k-1's checkpoint
+            # already holds this exact table (the initial pre-wave backlog
+            # stages at wave=-1)
+            if wave_no == 0:
+                ckpt.write_frontier_next(-1, backlog)
+            backlog_dir = ckpt.frontier_next_dir(wave_no - 1)
+            n_backlog = backlog.num_rows
+            backlog = None
+            mode_ds = True
+        if mode_ds:
+            backlog_ds = rd.read_parquet(backlog_dir)
+            selected = select_wave_ds(
+                backlog_ds, min(wave_cap, budget_left), per_host_cap
+            )
+        else:
+            selected, backlog = select_wave(
+                backlog, min(wave_cap, budget_left), per_host_cap
+            )
         n_wave = selected.num_rows
         if n_wave == 0:
             break
@@ -626,14 +669,49 @@ def crawl_priority(
             wave_no, np.concatenate([pending_hashes, new_hashes])
         )
         pending_hashes = np.empty(0, dtype=np.uint64)
-        if incoming is not None:
-            backlog = (
-                pa.concat_tables([backlog, incoming]).combine_chunks()
-                if backlog.num_rows
-                else incoming
+        if mode_ds:
+            # next backlog = (backlog dataset) minus selected, plus incoming
+            # — okey anti-join against the broadcast selected-key set, all
+            # inside map_batches; the result streams straight to the next
+            # wave's checkpoint partition (never a driver table)
+            import glob as _glob
+
+            import ray as _ray
+
+            ndir = ckpt.frontier_next_dir(wave_no)
+            for f in _glob.glob(os.path.join(ndir, "*.parquet")):
+                os.remove(f)  # stale files from a crashed attempt
+            sel_keys = np.sort(
+                selected.column("okey").to_numpy(zero_copy_only=False)
             )
-        if backlog.num_rows:
-            ckpt.write_frontier_next(wave_no, backlog)
+            ref = _ray.put(sel_keys)
+
+            def drop_selected(t: pa.Table) -> pa.Table:
+                keys = _ray.get(ref)
+                if not len(keys) or t.num_rows == 0:
+                    return t
+                o = t.column("okey").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(keys, o)
+                pos[pos == len(keys)] = 0
+                return t.filter(pa.array(keys[pos] != o))
+
+            rest = backlog_ds.map_batches(drop_selected, batch_format="pyarrow")
+            if incoming is not None and incoming.num_rows:
+                rest = rest.union(rd.from_arrow(incoming))
+            rest.write_parquet(ndir)
+            n_backlog = n_backlog - n_wave + (
+                incoming.num_rows if incoming is not None else 0
+            )
+            backlog_dir = ndir
+        else:
+            if incoming is not None:
+                backlog = (
+                    pa.concat_tables([backlog, incoming]).combine_chunks()
+                    if backlog.num_rows
+                    else incoming
+                )
+            if backlog.num_rows:
+                ckpt.write_frontier_next(wave_no, backlog)
         n_cand = cand.num_rows if cand is not None else 0
         n_new = incoming.num_rows if incoming is not None else 0
         _write_metrics(

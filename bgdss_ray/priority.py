@@ -84,3 +84,35 @@ def select_wave(
     selected = backlog.take(pa.array(take))
     remaining = backlog.filter(pa.array(~mask))
     return selected, remaining
+
+
+def select_wave_ds(backlog_ds, wave_cap: int, per_host_cap: int) -> pa.Table:
+    """Distributed twin of :func:`select_wave` over a backlog DATASET.
+
+    Per-host candidate heads come from ``groupby(host).map_groups`` — each
+    host contributes its top ``min(per_host_cap, wave_cap)`` rows by
+    (-priority, okey), and no row beyond a host's cap can ever be selected
+    (the greedy walk never takes more than ``per_host_cap`` from one host),
+    so running the exact same greedy walk over ONLY the merged heads yields
+    the same selection as over the full backlog. Driver memory:
+    O(hosts × cap) heads, never the backlog. Equality with
+    :func:`select_wave` is parity-tested.
+
+    Returns the selected rows ordered by (-priority, okey); the caller
+    drops them from the backlog dataset by okey anti-join.
+    """
+    k = min(per_host_cap, wave_cap)
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["priority", "okey"], ascending=[False, True]
+        ).head(k)
+
+    heads_df = (
+        backlog_ds.groupby("host")
+        .map_groups(head, batch_format="pandas")
+        .to_pandas()
+    )
+    heads = pa.Table.from_pandas(heads_df, preserve_index=False)
+    selected, _ = select_wave(heads, wave_cap, per_host_cap)
+    return selected

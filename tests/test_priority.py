@@ -124,3 +124,63 @@ def test_priority_resume_equals_uninterrupted(tmp_path, oracle_result,
                    resume=True)
     log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
     assert log.column("url").to_pylist() == oracle_result.crawl_order
+
+
+def test_select_wave_ds_parity(ray_session):
+    """Distributed per-host-heads selection == driver greedy select_wave on
+    a randomized backlog (many hosts, skewed, score ties)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bgdss_ray.priority import select_wave, select_wave_ds
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "url": [f"https://h{i % 37}.example/{i}" for i in range(n)],
+            "parent_rank": rng.randint(0, 100, n).astype(np.int64),
+            "link_pos": np.arange(n, dtype=np.int32),
+            "depth": rng.randint(0, 4, n).astype(np.int32),
+            "host": [f"h{i % 37}.example" for i in range(n)],
+            "is_pdf": rng.rand(n) < 0.3,
+            "blocked": np.zeros(n, dtype=bool),
+            "url_hash": rng.randint(0, 2**63, n).astype(np.uint64),
+            "okey": np.arange(n, dtype=np.int64),
+            "priority": rng.randint(0, 50, n).astype(np.float64),  # ties
+        }
+    )
+    backlog = pa.Table.from_pandas(df, preserve_index=False)
+    for wave_cap, host_cap in ((500, 20), (100, 3), (10000, 1000)):
+        want, _ = select_wave(backlog, wave_cap, host_cap)
+        got = select_wave_ds(rd.from_pandas(df), wave_cap, host_cap)
+        assert got.column("okey").to_pylist() == want.column("okey").to_pylist()
+
+
+def test_priority_distributed_backlog_matches(tmp_path, oracle_result,
+                                              monkeypatch, ray_session):
+    """Forcing the distributed (parquet-partition) backlog from row one
+    reproduces the oracle crawl order, including across a resume."""
+    import bgdss_ray.pipeline as pl
+
+    monkeypatch.setattr(pl, "PRIORITY_DISTRIBUTED_THRESHOLD", 0)
+    out = str(tmp_path / "prio_ds")
+    crawl_priority(WEB, out, CFG, wave_cap=WAVE_CAP, per_host_cap=HOST_CAP)
+    log = CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    assert log.column("url").to_pylist() == oracle_result.crawl_order
+
+    # wave-boundary interruption + resume, still in distributed mode
+    wave0 = int(
+        CrawlCheckpoint(out).read_all("metrics").to_pandas()
+        .sort_values("wave")["selected"].iloc[0]
+    )
+    out2 = str(tmp_path / "prio_ds_resume")
+    cfg_stop = CrawlConfig(max_depth=3, seen_shards=4, fetch_concurrency=2,
+                           max_pages=wave0)
+    crawl_priority(WEB, out2, cfg_stop, wave_cap=WAVE_CAP,
+                   per_host_cap=HOST_CAP)
+    crawl_priority(WEB, out2, CFG, wave_cap=WAVE_CAP, per_host_cap=HOST_CAP,
+                   resume=True)
+    log2 = CrawlCheckpoint(out2).read_all("crawl_log").sort_by("crawl_seq")
+    assert log2.column("url").to_pylist() == oracle_result.crawl_order
