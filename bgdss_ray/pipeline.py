@@ -626,7 +626,10 @@ def crawl_priority(
             backlog = None
             mode_ds = True
         if mode_ds:
-            backlog_ds = rd.read_parquet(backlog_dir)
+            # one decode per wave: the materialized blocks feed BOTH the
+            # heads pass and the drop/advance pass (object-store memory,
+            # not driver)
+            backlog_ds = rd.read_parquet(backlog_dir).materialize()
             selected = select_wave_ds(
                 backlog_ds, min(wave_cap, budget_left), per_host_cap
             )

@@ -103,13 +103,25 @@ def select_wave_ds(backlog_ds, wave_cap: int, per_host_cap: int) -> pa.Table:
     """
     k = min(per_host_cap, wave_cap)
 
+    def partial_heads(b: pd.DataFrame) -> pd.DataFrame:
+        # combiner: per-batch per-host top-k BEFORE the shuffle — the
+        # global per-host top-k is a subset of the union of per-batch
+        # top-ks, so the groupby only moves O(blocks x hosts x k) rows
+        # instead of the whole backlog
+        return (
+            b.sort_values(["priority", "okey"], ascending=[False, True])
+            .groupby("host", sort=False)
+            .head(k)
+        )
+
     def head(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(
             ["priority", "okey"], ascending=[False, True]
         ).head(k)
 
     heads_df = (
-        backlog_ds.groupby("host")
+        backlog_ds.map_batches(partial_heads, batch_format="pandas")
+        .groupby("host")
         .map_groups(head, batch_format="pandas")
         .to_pandas()
     )
