@@ -37,20 +37,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl_documents": P.crawl_documents_pipeline,
             "crawl_metrics": P.crawl_metrics_pipeline,
             "resolutions_table": P.resolutions_pipeline,
-            "spanify_documents": P.spanify_pipeline,
-            # training-data ops (non-SQL)
+            # training-data ops (non-SQL; spanify/llm/mds/ngram/distinct
+            # moved into SQL_PAIRED in round 3)
             "dedup_minhash": P.dedup_minhash_pipeline,
             "dedup_simhash": P.dedup_simhash_pipeline,
-            "dedup_ngram_jaccard": P.dedup_ngram_jaccard_pipeline,
             "dedup_embedding": P.dedup_embedding_pipeline,
             "ann_lsh": P.ann_lsh_pipeline,
             "ann_ivf": P.ann_ivf_pipeline,
             "crawl_priority_log": P.crawl_priority_pipeline,
-            "lang_quality": P.lang_quality_pipeline,
             "fingerprints": P.fingerprint_pipeline,
             "multimodal_decode": P.multimodal_pipeline,
-            "mds_csv_parse": P.mds_csv_pipeline,
-            "llm_extract": P.llm_extract_pipeline,
             "hll_distinct": P.hll_distinct_pipeline,
         }
     )

@@ -34,10 +34,20 @@ _PUNCT = re.compile(r"[^\w\s]")
 
 
 class LangId:
-    """Stopword/charset language classifier. State (tables) built once."""
+    """Stopword/charset language classifier. State (compiled per-language
+    stopword alternation regexes) built once per actor/worker; the whole
+    batch classifies via vectorized ``str.count`` per language + a numpy
+    argmax with first-language-wins tie-break — identical output to the
+    former per-row token-membership loop (each stopword token occurrence
+    matches the \\b-anchored alternation exactly once; parity pinned by the
+    ``lang_scores`` SQL oracle)."""
 
     def __init__(self):
         self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.res = {
+            lang: re.compile(r"\b(" + "|".join(sorted(ws)) + r")\b")
+            for lang, ws in _STOPWORDS.items()
+        }
 
     def classify_one(self, text: str) -> str:
         if _CJK.search(text):
@@ -53,7 +63,17 @@ class LangId:
         return best
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["lang_pred"] = [self.classify_one(t) for t in batch["text"]]
+        t = batch["text"].fillna("")
+        low = t.str.lower()
+        langs = list(self.res)
+        scores = np.stack(
+            [low.str.count(self.res[lang]).to_numpy() for lang in langs]
+        )
+        best = np.asarray(langs, dtype=object)[scores.argmax(axis=0)]
+        best[scores.max(axis=0) == 0] = "unknown"
+        best[~t.str.contains(_WORD).to_numpy(dtype=bool)] = "unknown"
+        best[t.str.contains(_CJK).to_numpy(dtype=bool)] = "zh"
+        batch["lang_pred"] = best
         return batch
 
 
@@ -89,19 +109,27 @@ class QualityScorer:
 
     def __init__(self):
         self.all_stop = frozenset().union(*_STOPWORDS.values())
+        self.stop_re = re.compile(
+            r"\b(" + "|".join(sorted(self.all_stop)) + r")\b"
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch["text"].fillna("")
         n_chars = t.str.len()
-        words = t.str.findall(_WORD)
-        n_words = words.str.len().clip(lower=1)
-        mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        # all-vectorized signals (no per-row python): word count and total
+        # word-char count give the exact same mean word length as the old
+        # np.mean-per-row pass (same integers, same float64 division), and
+        # the stopword alternation counts one hit per stopword token
+        n_words_raw = t.str.count(_WORD)
+        n_words = n_words_raw.clip(lower=1)
+        n_word_chars = t.str.count(r"\w")
+        mean_wlen = (n_word_chars / n_words).where(n_words_raw > 0, 0.0).astype(float)
         punct = t.str.count(_PUNCT)
         digits = t.str.count(r"\d")
         upper = t.str.count(r"[A-Z]")
-        stop_ratio = words.map(
-            lambda ws: sum(1 for w in ws if w.lower() in self.all_stop) / max(1, len(ws))
-        )
+        stop_ratio = (
+            t.str.lower().str.count(self.stop_re) / n_words
+        ).astype(float)
         punct_ratio = (punct / n_chars.clip(lower=1)).astype(float)
         digit_ratio = (digits / n_chars.clip(lower=1)).astype(float)
         upper_ratio = (upper / n_chars.clip(lower=1)).astype(float)
@@ -115,7 +143,7 @@ class QualityScorer:
             + 0.1 * (1.0 - digit_ratio.clip(upper=0.3) / 0.3)
         )
         out = batch.copy()
-        out["n_words"] = words.str.len()
+        out["n_words"] = n_words_raw
         out["mean_word_len"] = mean_wlen
         out["punct_ratio"] = punct_ratio
         out["digit_ratio"] = digit_ratio

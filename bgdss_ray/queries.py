@@ -169,26 +169,31 @@ GROUP BY 1
 # --------------------------------------------------------------- q04
 def customer_order_counts(sf_dir: str):
     """Left join with null→0 fill (the reference's left-join sentinel fill,
-    pdf_call.py:101-103, in count form): every customer, order count."""
+    pdf_call.py:101-103, in count form): every customer, order count.
+
+    A real hash-partitioned ``Dataset.join`` — the per-customer counts side
+    is itself corpus-sized at scale, so neither side is ever collected or
+    broadcast (the former driver-dict version was O(customers) driver
+    memory)."""
     counts = (
         _pq(sf_dir, "orders", ["o_custkey"])
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"))
-        .to_pandas()
-    )
-    cmap = dict(zip(counts["o_custkey"], counts["n_orders"]))
-    ref = ray.put(cmap)
-    ds = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-
-    def join(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        n = pd.Series(t["c_custkey"].to_numpy()).map(m).fillna(0).astype("int64")
-        return pa.table(
-            {"c_custkey": t["c_custkey"], "c_mktsegment": t["c_mktsegment"],
-             "n_orders": pa.array(n, type=pa.int64())}
+        .map_batches(
+            lambda t: t.rename_columns(["c_custkey", "n_orders"]),
+            batch_format="pyarrow",
         )
+    )
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = ds.join(
+        counts, join_type="left_outer", num_partitions=8, on=("c_custkey",)
+    )
 
-    return ds.map_batches(join, batch_format="pyarrow")
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+        return df[["c_custkey", "c_mktsegment", "n_orders"]]
+
+    return joined.map_batches(fill, batch_format="pandas")
 
 
 CUSTOMER_ORDER_COUNTS_SQL = """
@@ -907,6 +912,309 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------- q27
+def spanify_spans(sf_dir: str):
+    """The spanify adapter output EXPLODED to one row per span — full
+    value-level parity (kind, text, media_ref, offset) against a
+    closed-form DuckDB reconstruction of the 12-word chunking + trailing
+    media span (stronger than the span_counts structure check)."""
+    from .parse import spanify_flat_documents
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        spanify_flat_documents, batch_format="pyarrow"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        return pa.table(
+            {
+                "doc_id": pc.take(t.column("doc_id"), parent),
+                "offset": pc.struct_field(flat, "offset"),
+                "kind": pc.struct_field(flat, "kind"),
+                "text": pc.struct_field(flat, "text"),
+                "media_ref": pc.struct_field(flat, "media_ref"),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SPANIFY_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS "offset", 'text' AS kind,
+       array_to_string(w[(i*12)+1 : (i*12)+12], ' ') AS text,
+       '' AS media_ref
+FROM (
+  SELECT doc_id, w,
+         unnest(generate_series(0, CAST(ceil(len(w)/12.0) AS BIGINT) - 1)) AS i
+  FROM toks WHERE len(w) > 0
+)
+UNION ALL
+SELECT doc_id,
+       CAST(CASE WHEN len(w) = 0 THEN 0
+                 ELSE CAST(ceil(len(w)/12.0) AS BIGINT) END AS INT) AS "offset",
+       'media' AS kind,
+       'attachment ' || doc_id AS text,
+       'https://media.example.gov.br/blob/' || doc_id || '.pdf' AS media_ref
+FROM toks
+"""
+
+
+# --------------------------------------------------------------- q28
+def llm_extract_fields(sf_dir: str):
+    """The full LLM extraction ACTOR path (spanify → actor pool with
+    rate-limited client + deterministic perfect-model transport → JSON
+    parse → sentinel/categorize) projected to its SQL-expressible fields —
+    the oracle reconstructs the spanified text closed-form (12-word chunks
+    joined by blank lines), applies the same length gate / truncation, and
+    re-derives the regex fields. The para-scanned fields (objeto, prazo,
+    vedado) stay pytest-covered."""
+    from . import pipelines as P
+
+    out = P.llm_extract_pipeline(sf_dir)
+    return out.map_batches(
+        lambda df: df[["doc_id", "numero_resolucao", "data_inicial",
+                       "dotacao_orcamentaria", "abreviacao", "ok"]],
+        batch_format="pandas",
+    )
+
+
+LLM_EXTRACT_SQL = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i, array_to_string(w[(i*12)+1 : (i*12)+12], ' ') AS chunk
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(0, CAST(ceil(len(w)/12.0) AS BIGINT) - 1)) AS i
+    FROM toks WHERE len(w) > 0
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(chunk, e'\n\n' ORDER BY i) AS text2
+  FROM chunks GROUP BY doc_id
+),
+gated AS (
+  SELECT t.doc_id,
+         substr(coalesce(a.text2, ''), 1, 20000) AS tx,
+         len(coalesce(a.text2, '')) >= 100 AS ok
+  FROM toks t LEFT JOIN agg a USING (doc_id)
+),
+fields AS (
+  SELECT doc_id, ok,
+         regexp_extract(tx, '\b(\d{1,5}/20\d{2})\b', 1) AS numero,
+         regexp_extract(tx, '\b(\d{2}/\d{2}/\d{4})\b', 1) AS data_i,
+         regexp_extract(tx, '(?i)dota[çc][ãa]o or[çc]ament[áa]ria\s+(\d[\d.\-]*\d)', 1) AS dot
+  FROM gated
+)
+SELECT doc_id,
+       CASE WHEN NOT ok OR numero = '' THEN 'NÃO INFORMADO' ELSE numero END AS numero_resolucao,
+       CASE WHEN NOT ok OR data_i = '' THEN 'NÃO INFORMADO' ELSE data_i END AS data_inicial,
+       CASE WHEN NOT ok OR dot = '' THEN 'NÃO INFORMADO' ELSE dot END AS dotacao_orcamentaria,
+       -- categorize runs over the whole column AFTER the gate fill, so
+       -- gate-failed rows (sentinel dotacao) classify NOT_CLASSIFIED too
+       CASE regexp_extract(CASE WHEN ok THEN dot ELSE '' END,
+                           '\b(301|302|303|304|305|306|122|242)\b', 1)
+            WHEN '301' THEN 'Atenção Primária'
+            WHEN '302' THEN 'MAC'
+            WHEN '303' THEN 'Assistência Farmacêutica'
+            WHEN '304' THEN 'Vigilância Sanitária'
+            WHEN '305' THEN 'Vigilância Epidemiológica'
+            WHEN '306' THEN 'Alimentação e Nutrição'
+            WHEN '122' THEN 'ADM'
+            WHEN '242' THEN 'Assist. ao Portador de Deficiência'
+            ELSE 'NÃO CLASSIFICADO' END AS abreviacao,
+       ok
+FROM fields
+"""
+
+
+# --------------------------------------------------------------- q29
+def mds_csv_parse_q(sf_dir: str):
+    """The MDS CSV fallback-ladder parse (latin-1, junk header, ';'→','→
+    sniffed ladder) over the deterministic payload set, SQL-paired against
+    a closed-form reconstruction of the expected long-form output
+    (comma-separated payloads degrade to single-column 'semicolon' parses
+    with null fields — the documented ladder behavior)."""
+    from . import pipelines as P
+
+    return P.mds_csv_pipeline(sf_dir)
+
+
+MDS_CSV_SQL = r"""
+WITH ids AS (SELECT i FROM generate_series(0, 19) AS t(i)),
+rows_ AS (SELECT i, j FROM ids, generate_series(0, 19) AS s(j) WHERE j <= i)
+SELECT printf('csv-%02d', i) AS csv_id,
+       CASE WHEN i % 3 = 0 THEN NULL ELSE 'Município ' || j END AS municipio,
+       CASE WHEN i % 3 = 0 THEN NULL ELSE 'MG' END AS uf,
+       CASE WHEN i % 3 = 0 THEN NULL ELSE '2023' END AS ano,
+       CASE WHEN i % 3 = 0 THEN NULL ELSE CAST(1 + j % 12 AS VARCHAR) END AS mes,
+       CASE WHEN i % 3 = 0 THEN NULL ELSE 'R$ ' || j || ',00' END AS parcela,
+       CASE WHEN i % 3 = 0 THEN NULL ELSE 'c' || j END AS conta,
+       CASE WHEN i % 3 = 0 THEN NULL ELSE 'R$ ' || (j * 2) || ',50' END AS saldo,
+       'semicolon' AS parse_method,
+       CAST(i + 1 AS BIGINT) AS record_count
+FROM rows_
+"""
+
+
+# --------------------------------------------------------------- q30
+def distinct_counts(sf_dir: str):
+    """Exact distributed distinct counts (the HLL pipeline's self-check
+    arm: groupby + Count) over the same column specs the sketch gate uses —
+    SQL-paired with COUNT(DISTINCT)."""
+    from ray.data.aggregate import Count as _Count
+
+    rows = []
+    for table, col in [("events", "user_id"), ("orders", "o_custkey"),
+                       ("documents", "text"), ("lineitem", "l_orderkey")]:
+        ds = _pq(sf_dir, table, [col])
+        n = ds.groupby(col).aggregate(_Count(alias_name="n")).count()
+        rows.append({"tbl": table, "col": col, "n_distinct": int(n)})
+    return pd.DataFrame(rows)
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT 'events' AS tbl, 'user_id' AS col,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'orders', 'o_custkey', COUNT(DISTINCT o_custkey) FROM orders
+UNION ALL
+SELECT 'documents', 'text', COUNT(DISTINCT text) FROM documents
+UNION ALL
+SELECT 'lineitem', 'l_orderkey', COUNT(DISTINCT l_orderkey) FROM lineitem
+"""
+
+
+# --------------------------------------------------------------- q31
+def ngram_jaccard_pairs(sf_dir: str):
+    """The exact n-gram-Jaccard near-dup pipeline (rare-shingle inverted
+    index candidates + distributed co-group verify) — SQL-paired against a
+    from-first-principles DuckDB reimplementation: distinct word 3-grams,
+    document frequency 2..5 postings, all-pairs per posting, exact Jaccard
+    >= 0.7 (the engine hashes shingles; 64-bit collisions are the only
+    divergence source and are ~2^-64 per gram pair)."""
+    from . import pipelines as P
+
+    return P.dedup_ngram_jaccard_pipeline(sf_dir)
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i : i+2], ' ') AS g
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+    FROM toks WHERE len(w) >= 3
+  )
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3
+),
+d AS (SELECT DISTINCT doc_id, g FROM grams),
+rare AS (SELECT g FROM d GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN rare USING (g) JOIN d b USING (g)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN d da ON da.doc_id = c.id_a
+  JOIN d db ON db.doc_id = c.id_b AND db.g = da.g
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+ORDER BY c.id_a, c.id_b
+"""
+
+
+# --------------------------------------------------------------- q32
+def lang_quality_q(sf_dir: str):
+    """The combined LangId + QualityScorer pipeline (both fully vectorized
+    stages) SQL-paired END-TO-END: language argmax AND the composite
+    quality score — the float blend reproduces bit-exactly in DuckDB
+    (same IEEE-754 double ops in the same order; verified, not assumed)."""
+    from . import pipelines as P
+
+    return P.lang_quality_pipeline(sf_dir)
+
+
+LANG_QUALITY_SQL = (
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words_raw,
+         CAST(len(regexp_extract_all(text, '\w')) AS BIGINT) AS n_word_chars,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '\d')) AS BIGINT) AS n_digits,
+         CAST(len(regexp_extract_all(lower(text), '\b(__STOP__)\b')) AS BIGINT) AS n_stop,
+         len(regexp_extract_all(lower(text), '\b({en})\b')) AS en,
+         len(regexp_extract_all(lower(text), '\b({es})\b')) AS es,
+         len(regexp_extract_all(lower(text), '\b({fr})\b')) AS fr,
+         len(regexp_extract_all(lower(text), '\b({de})\b')) AS de,
+         len(regexp_extract_all(lower(text), '\b({pt})\b')) AS pt,
+         regexp_matches(text, '[一-鿿]') AS cjk,
+         trim(text) = '' AS empty
+  FROM documents
+), r AS (
+  SELECT *,
+         CASE WHEN n_words_raw > 0
+              THEN n_word_chars / greatest(n_words_raw, 1) ELSE 0.0 END AS mean_wlen,
+         n_punct / greatest(n_chars, 1) AS punct_ratio,
+         n_digits / greatest(n_chars, 1) AS digit_ratio,
+         n_stop / greatest(n_words_raw, 1) AS stop_ratio,
+         least(n_chars, 2000) / 2000.0 AS length_score
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN cjk THEN 'zh'
+            WHEN empty OR (en = 0 AND es = 0 AND fr = 0 AND de = 0 AND pt = 0)
+                 THEN 'unknown'
+            WHEN en >= es AND en >= fr AND en >= de AND en >= pt THEN 'en'
+            WHEN es >= fr AND es >= de AND es >= pt THEN 'es'
+            WHEN fr >= de AND fr >= pt THEN 'fr'
+            WHEN de >= pt THEN 'de'
+            ELSE 'pt'
+       END AS lang_pred,
+       n_words_raw AS n_words,
+       0.3 * length_score
+       + 0.2 * (1.0 - least(abs(mean_wlen - 5.0), 5.0) / 5.0)
+       + 0.2 * (1.0 - least(punct_ratio, 0.3) / 0.3)
+       + 0.2 * (least(stop_ratio, 0.5) / 0.5)
+       + 0.1 * (1.0 - least(digit_ratio, 0.3) / 0.3) AS quality_score
+FROM r
+""".replace("__STOP__", _stop_alternation())
+    .replace("{en}", _LANG_WORDS["en"])
+    .replace("{es}", _LANG_WORDS["es"])
+    .replace("{fr}", _LANG_WORDS["fr"])
+    .replace("{de}", _LANG_WORDS["de"])
+    .replace("{pt}", _LANG_WORDS["pt"])
+)
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -934,4 +1242,10 @@ SQL_PAIRED = {
     "span_counts": (span_counts, SPAN_COUNTS_SQL),
     "lang_scores": (lang_scores, LANG_SCORES_SQL),
     "quality_counts": (quality_counts, QUALITY_COUNTS_SQL),
+    "spanify_documents": (spanify_spans, SPANIFY_SPANS_SQL),
+    "llm_extract": (llm_extract_fields, LLM_EXTRACT_SQL),
+    "mds_csv_parse": (mds_csv_parse_q, MDS_CSV_SQL),
+    "distinct_counts": (distinct_counts, DISTINCT_COUNTS_SQL),
+    "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
 }
