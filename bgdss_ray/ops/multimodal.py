@@ -83,10 +83,24 @@ class MediaDecoder:
     def __init__(self, decode_backend: str = "fake"):
         if decode_backend == "fake":
             self.backend = self._fake_decode
-        elif decode_backend in ("pil", "ffmpeg"):
+        elif decode_backend == "pil":
+            # guarded optional extra: the real codec wires in when the
+            # cluster image ships Pillow; this container does not, so the
+            # boundary raises the documented NotImplementedError here and
+            # the PIL test skips (tests/test_ops_multimodal.py)
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "decode backend 'pil' needs Pillow; this container "
+                    "ships none — install it on the cluster image."
+                ) from e
+            self._pil_image = Image
+            self.backend = self._pil_decode
+        elif decode_backend == "ffmpeg":
             raise NotImplementedError(
-                f"decode backend '{decode_backend}' needs the real library; "
-                "this container ships none — wire it here on a cluster image."
+                "decode backend 'ffmpeg' needs the real library; this "
+                "container ships none — wire it here on a cluster image."
             )
         else:
             raise ValueError(f"unknown decode backend {decode_backend!r}")
@@ -97,6 +111,15 @@ class MediaDecoder:
         return (
             np.frombuffer(d, dtype=np.uint32).astype(np.float64) / np.float64(2**32)
         )
+
+    def _pil_decode(self, payload: bytes) -> np.ndarray:
+        """Real decode (Pillow): grayscale-resize to 4x4 and normalize —
+        a deterministic 16-dim visual signature."""
+        import io
+
+        img = self._pil_image.open(io.BytesIO(payload)).convert("L")
+        small = img.resize((4, 4))
+        return np.asarray(small, dtype=np.float64).reshape(self.FEAT_DIM) / 255.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
