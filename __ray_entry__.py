@@ -39,8 +39,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "resolutions_table": P.resolutions_pipeline,
             # training-data ops (non-SQL; spanify/llm/mds/ngram/distinct
             # moved into SQL_PAIRED in round 3)
-            "dedup_minhash": P.dedup_minhash_pipeline,
-            "dedup_simhash": P.dedup_simhash_pipeline,
             "dedup_embedding": P.dedup_embedding_pipeline,
             "ann_lsh": P.ann_lsh_pipeline,
             "ann_ivf": P.ann_ivf_pipeline,

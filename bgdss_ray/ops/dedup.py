@@ -699,6 +699,23 @@ def connected_components(pairs: pd.DataFrame,
 
 
 # ---------------------------------------------------------------- simhash
+def md5_hash64(tokens) -> np.ndarray:
+    """uint64 token hashes = little-endian first 8 bytes of md5(utf-8).
+
+    Chosen over blake2b for the simhash family because DuckDB's
+    ``md5_number_upper(tok)`` computes the identical value, so the whole
+    simhash pipeline is SQL-oracle-reproducible end to end."""
+    m = hashlib.md5
+    return np.fromiter(
+        (
+            int.from_bytes(m(t.encode("utf-8")).digest()[:8], "little")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
 class SimHasher:
     """64-bit simhash over token hashes; map_batches stage."""
 
@@ -709,7 +726,7 @@ class SimHasher:
         toks = _TOKEN_RE.findall(text.lower())
         if not toks:
             return 0
-        hs = url_hash64(toks)
+        hs = md5_hash64(toks)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         )

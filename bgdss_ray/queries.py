@@ -1099,6 +1099,113 @@ SELECT 'lineitem', 'l_orderkey', COUNT(DISTINCT l_orderkey) FROM lineitem
 """
 
 
+# --------------------------------------------------------------- q33
+def simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs, SQL-paired END TO END: token hashes are
+    md5-based (``md5_hash64`` == DuckDB ``md5_number_upper``), the per-bit
+    majority, 4x16-bit banding AND the hamming<=3 verify are all integer
+    arithmetic DuckDB reproduces exactly. Banding is COMPLETE for
+    hamming<=3 (pigeonhole: 3 differing bits touch at most 3 of 4 bands),
+    so engine and oracle compute the identical pair set — no recall
+    caveat, unlike the ANN queries."""
+    from . import pipelines as P
+
+    out = P.dedup_simhash_pipeline(sf_dir)
+    out["hamming"] = out["hamming"].astype("int64")
+    return out
+
+
+SIMHASH_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN (CAST(1 AS UBIGINT) << b) ELSE CAST(0 AS UBIGINT) END AS bitval
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b
+),
+sh0 AS (SELECT doc_id, bit_or(bitval) AS simhash FROM bits GROUP BY doc_id),
+sh AS (
+  SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS UBIGINT)) AS simhash
+  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sh0 s USING (doc_id)
+),
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * 16)) & 65535 AS key
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------- q34
+def minhash_clusters(sf_dir: str):
+    """The full minhash near-dedup keep-map (LSH banding -> distributed
+    Jaccard verify -> connected components -> per-doc cluster label),
+    SQL-paired against GROUND TRUTH: DuckDB computes all-pairs word-3-gram
+    Jaccard >= 0.8 from first principles and folds components with a
+    recursive CTE (min-label reachability). Equality checks precision
+    (exact in-group verify guarantees it) AND recall — probabilistic for
+    minhash-LSH in general (16 bands x 8 rows: ~95% per pair at j=0.8),
+    complete on this corpus because near-dup pairs sit well above the
+    threshold; a production run samples exactly this check."""
+    from . import pipelines as P
+
+    return P.dedup_minhash_pipeline(sf_dir)
+
+
+MINHASH_CLUSTERS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i : i+2], ' ') AS g
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+    FROM toks WHERE len(w) >= 3
+  )
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3
+),
+d AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sizes sa ON sa.doc_id = c.id_a
+              JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE c.i * 1.0 / (sa.n + sb.n - c.i) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------- q31
 def ngram_jaccard_pairs(sf_dir: str):
     """The exact n-gram-Jaccard near-dup pipeline (rare-shingle inverted
@@ -1247,5 +1354,7 @@ SQL_PAIRED = {
     "mds_csv_parse": (mds_csv_parse_q, MDS_CSV_SQL),
     "distinct_counts": (distinct_counts, DISTINCT_COUNTS_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "dedup_simhash": (simhash_pairs, SIMHASH_PAIRS_SQL),
+    "dedup_minhash": (minhash_clusters, MINHASH_CLUSTERS_SQL),
     "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
 }
