@@ -39,13 +39,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "resolutions_table": P.resolutions_pipeline,
             # training-data ops (non-SQL; spanify/llm/mds/ngram/distinct
             # moved into SQL_PAIRED in round 3)
-            "dedup_embedding": P.dedup_embedding_pipeline,
             "ann_lsh": P.ann_lsh_pipeline,
             "ann_ivf": P.ann_ivf_pipeline,
             "crawl_priority_log": P.crawl_priority_pipeline,
-            "fingerprints": P.fingerprint_pipeline,
             "multimodal_decode": P.multimodal_pipeline,
-            "hll_distinct": P.hll_distinct_pipeline,
         }
     )
     return q

@@ -831,26 +831,43 @@ def embedding_neardup_pairs(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 3,
 ) -> pd.DataFrame:
     """Cosine near-dup via random-hyperplane LSH buckets + exact verify.
 
     Sign pattern over n_planes seeded Gaussian hyperplanes → bucket key;
-    near-identical vectors share the key with high probability. Verify is
-    an exact normalized dot inside each bucket. Scale path: the bucket
-    groupby is the only shuffle; plane matrix is broadcast.
-    """
+    ``n_tables`` independent plane sets (OR-construction) drive per-pair
+    miss probability from ~(θ·n_planes/π) down to its n_tables-th power —
+    at cosine ≥ 0.98 recall is effectively 1, which is what lets the
+    ``dedup_embedding`` gate pair against a brute-force SQL oracle.
+    Verify is an exact normalized dot inside each bucket. Scale path: the
+    bucket groupby is the only shuffle; plane matrices are broadcast
+    (n_tables× banded rows, same as minhash banding)."""
     def stage(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        planes = _hyperplanes(vecs.shape[1], n_planes, seed)
-        signs = (vecs @ planes) > 0
-        key = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
         norm = np.linalg.norm(vecs, axis=1)
+        ids = batch.column(id_col)
+        id_arr = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        vec_arr = batch.column(vec_col)
+        vec_arr = (
+            vec_arr.combine_chunks()
+            if isinstance(vec_arr, pa.ChunkedArray)
+            else vec_arr
+        )
+        keys = np.empty((n_tables, len(vecs)), dtype=np.int64)
+        for t in range(n_tables):
+            planes = _hyperplanes(vecs.shape[1], n_planes, seed + 1000 * t)
+            signs = (vecs @ planes) > 0
+            key = (
+                signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)
+            ).sum(axis=1)
+            keys[t] = (np.int64(t) << np.int64(n_planes)) | key.view(np.int64)
         return pa.Table.from_arrays(
             [
-                batch.column(id_col),
-                pa.array(key.view(np.int64)),
-                batch.column(vec_col),
-                pa.array(norm),
+                pa.concat_arrays([id_arr] * n_tables),
+                pa.array(keys.reshape(-1)),
+                pa.concat_arrays([vec_arr] * n_tables),
+                pa.array(np.tile(norm, n_tables)),
             ],
             names=[id_col, "bucket", vec_col, "norm"],
         )

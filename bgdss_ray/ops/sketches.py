@@ -7,7 +7,9 @@ ONLY thing that leaves workers, merged by elementwise max — associative
 and commutative, so any combine tree gives identical registers
 (merge-equality is tested, not just estimate closeness).
 
-Deterministic end to end: the same 64-bit hash family as the URL seen set.
+Deterministic end to end: murmur3 fmix64 for integer columns and the md5
+family (``md5_hash64``) for strings — both chosen because the DuckDB
+oracle recomputes them exactly (HUGEINT split-multiply / md5_number_upper).
 """
 
 from __future__ import annotations
@@ -15,9 +17,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-
-from ..urlnorm import url_hash64
-
 
 class HllSketch:
     """Dense HyperLogLog over uint64 hashes. p in [4, 18]."""
@@ -54,7 +53,9 @@ class HllSketch:
         return self
 
     def add_strings(self, values) -> "HllSketch":
-        return self.add_hashes(url_hash64([str(v) for v in values]))
+        from .dedup import md5_hash64
+
+        return self.add_hashes(md5_hash64([str(v) for v in values]))
 
     def merge(self, other: "HllSketch") -> "HllSketch":
         assert other.p == self.p
@@ -62,18 +63,33 @@ class HllSketch:
         return self
 
     def estimate(self) -> float:
-        """Standard HLL estimator with small-range linear counting."""
+        """Standard HLL estimator with small-range linear counting.
+
+        The harmonic sum is computed EXACTLY in integer arithmetic
+        (sum of 2^(63-rank) as a python int, one float division at the
+        end) so the estimate is order-independent and bit-reproducible by
+        the DuckDB oracle, which folds the identical integer sum in
+        HUGEINT. ``math.log`` (libm, same as DuckDB's ``ln``) rather than
+        numpy's SIMD log for the linear-counting branch."""
+        import math
+
         m = float(self.m)
         alpha = 0.7213 / (1.0 + 1.079 / m)
-        inv = np.ldexp(1.0, -self.registers.astype(np.int64)).sum()
+        cnt = np.bincount(self.registers, minlength=64)
+        s = sum(int(c) << (63 - r) for r, c in enumerate(cnt) if c)
+        inv = s / (1 << 63)
         e = alpha * m * m / inv
-        zeros = int((self.registers == 0).sum())
+        zeros = int(cnt[0])
         if e <= 2.5 * m and zeros:
-            return m * np.log(m / zeros)  # linear counting
+            return m * math.log(m / zeros)  # linear counting
         return float(e)
 
 
 def _col_hashes(t: pa.Table, col: str) -> np.ndarray:
+    """Per-column uint64 hashes for the HLL gate — both paths are chosen
+    to be DuckDB-oracle-reproducible: fmix64 is plain mod-2^64 integer
+    arithmetic (HUGEINT split-multiply in SQL) and the string path is the
+    md5 family (``md5_number_upper``)."""
     arr = t.column(col)
     if pa.types.is_integer(arr.type):
         # raw ints are NOT uniform — murmur3 fmix64 spreads them
@@ -85,7 +101,9 @@ def _col_hashes(t: pa.Table, col: str) -> np.ndarray:
             v = v * np.uint64(0xC4CEB9FE1A85EC53)
             v = v ^ (v >> np.uint64(33))
         return v
-    return url_hash64([str(v) for v in arr.to_pylist()])
+    from .dedup import md5_hash64
+
+    return md5_hash64([str(v) for v in arr.to_pylist()])
 
 
 def hll_distinct(ds, col: str, p: int = 12) -> float:

@@ -192,9 +192,13 @@ def dedup_ngram_jaccard_pipeline(sf_dir: str):
 
 def dedup_embedding_pipeline(sf_dir: str):
     """Embedding near-dup over testdata vectors + deterministically planted
-    clones (vec_id+1_000_000, tiny per-id seeded perturbation): the testdata
-    embeddings alone contain no pairs at 0.98, which would make this gate
-    vacuous — planting guarantees a nonzero, checkable answer."""
+    clones (vec_id+1_000_000): the testdata embeddings alone contain no
+    pairs at 0.98, which would make this gate vacuous — planting
+    guarantees a nonzero, checkable answer. The perturbation is plain
+    arithmetic (per-element relative factor 1 + 0.003*(((vid*31+j*17) mod
+    13) - 6), cast to float32 exactly like the stored column) so the
+    DuckDB oracle reconstructs the identical clone vectors and checks the
+    LSH+verify output against brute-force all-pairs cosine."""
     from .ops.dedup import embedding_neardup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -204,15 +208,12 @@ def dedup_embedding_pipeline(sf_dir: str):
 
         sub = t.filter(pc.less(t["vec_id"], 20))
         if sub.num_rows == 0:
-            return t
+            return t.select(["vec_id", "embedding"])
         ids = sub.column("vec_id").to_numpy(zero_copy_only=False)
         vecs = np.asarray(sub.column("embedding").to_pylist(), dtype=np.float64)
-        clones = np.empty_like(vecs)
-        for i, vid in enumerate(ids):
-            noise = np.random.RandomState(int(vid) + 7).standard_normal(
-                vecs.shape[1]
-            )
-            clones[i] = vecs[i] + 0.02 * np.linalg.norm(vecs[i]) * noise / np.linalg.norm(noise)
+        j = np.arange(vecs.shape[1], dtype=np.int64)
+        u = ((ids[:, None] * 31 + j[None, :] * 17) % 13) - 6
+        clones = vecs * (1.0 + 0.003 * u)
         clone_t = pa.table(
             {
                 "vec_id": pa.array(ids + 1_000_000, type=t.schema.field("vec_id").type),
@@ -225,6 +226,8 @@ def dedup_embedding_pipeline(sf_dir: str):
     out = embedding_neardup_pairs(planted, threshold=0.98)
     if not out.empty:
         out["cosine"] = out["cosine"].round(6)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
     return out
 
 

@@ -1206,6 +1206,228 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------- q35
+def hll_distinct_q(sf_dir: str):
+    """The HyperLogLog sketch gate, SQL-paired BIT-EXACTLY: the oracle
+    recomputes the whole sketch in DuckDB — fmix64 integer mixing via
+    HUGEINT split-multiply mod 2^64, md5-family string hashes
+    (``md5_number_upper``), register ranks from bit lengths, the harmonic
+    sum as an EXACT integer fold (2^(63-rank) in HUGEINT; the engine
+    computes the same integer so float summation order cannot diverge),
+    and the same linear-counting branch. The estimate column is the
+    sketch's answer, not DuckDB's COUNT DISTINCT — the oracle proves the
+    distributed sketch computes exactly what the algorithm specifies."""
+    from . import pipelines as P
+
+    return P.hll_distinct_pipeline(sf_dir)
+
+
+def _hll_mul_mod64(x: str, c: str) -> str:
+    """(c * x) mod 2^64 without HUGEINT overflow: split x into 32-bit
+    halves (c*hi mod 2^32 carries into the top word)."""
+    return (
+        f"CAST((CAST('{c}' AS HUGEINT) * ({x} & 4294967295) + "
+        f"((CAST('{c}' AS HUGEINT) * ({x} >> 32)) % 4294967296) * 4294967296) "
+        f"% CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)"
+    )
+
+
+def _hll_hashes_sql(table: str, col: str, is_int: bool) -> str:
+    if not is_int:
+        return f"SELECT md5_number_upper({col}) AS h FROM {table}"
+    c1, c2 = "18397679294719823053", "14181476777654086739"  # murmur3 fmix64
+    return (
+        "SELECT xor(v5, v5 >> 33) AS h FROM ("
+        f"SELECT {_hll_mul_mod64('v4', c2)} AS v5 FROM ("
+        "SELECT xor(v3, v3 >> 33) AS v4 FROM ("
+        f"SELECT {_hll_mul_mod64('v1', c1)} AS v3 FROM ("
+        "SELECT xor(v0, v0 >> 33) AS v1 FROM ("
+        f"SELECT CAST({col} AS UBIGINT) AS v0 FROM {table})))))"
+    )
+
+
+def _hll_sql_one(table: str, col: str, is_int: bool) -> str:
+    # p=12: m=4096 registers, idx = h>>52, payload = (h mod 2^52)<<12,
+    # rank = min(64 - bitlen(payload), 52) + 1 (53 when payload == 0)
+    return f"""
+SELECT '{table}' AS "table", '{col}' AS "column",
+       CAST(round(est) AS BIGINT) AS hll_estimate,
+       exact AS exact_distinct,
+       round(abs(est - exact) / greatest(1, exact), 4) AS rel_error
+FROM (
+  SELECT CASE WHEN e <= 10240.0 AND zeros > 0
+              THEN 4096.0 * ln(4096.0 / zeros) ELSE e END AS est, exact
+  FROM (
+    SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+           (CAST(s AS DOUBLE) / 9223372036854775808.0) AS e, zeros, exact
+    FROM (
+      SELECT coalesce(SUM(CAST((CAST(1 AS UBIGINT) << (63 - rank)) AS HUGEINT)), 0)
+             + (4096 - COUNT(*)) * CAST('9223372036854775808' AS HUGEINT) AS s,
+             4096 - COUNT(*) AS zeros
+      FROM (
+        SELECT idx, MAX(rank) AS rank FROM (
+          SELECT CAST(h >> 52 AS BIGINT) AS idx,
+                 CASE WHEN (h % 4503599627370496) = 0 THEN 53
+                      ELSE least(64 - length(bin((h % 4503599627370496) * 4096)), 52) + 1
+                 END AS rank
+          FROM ({_hll_hashes_sql(table, col, is_int)})
+        ) GROUP BY idx
+      )
+    ) CROSS JOIN (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) AS exact FROM {table})
+  )
+)"""
+
+
+HLL_DISTINCT_SQL = (
+    "\nUNION ALL\n".join(
+        _hll_sql_one(t, c, i)
+        for t, c, i in [
+            ("events", "user_id", True),
+            ("orders", "o_custkey", True),
+            ("documents", "text", False),
+            ("lineitem", "l_orderkey", True),
+        ]
+    )
+    + '\nORDER BY "table", "column"'
+)
+
+
+# --------------------------------------------------------------- q36
+def fingerprints_q(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al.) SQL-paired from first
+    principles: the char-8-gram polynomial rolling hash is plain mod-2^64
+    arithmetic (precomputed power constants, HUGEINT folds), winnowing is
+    rightmost-min-per-window (window starts joined to their members,
+    MAX(pos) among the window minimum), and two exact identities collapse
+    the list output to checkable scalars: picked positions are
+    monotonically non-decreasing so consecutive-dedup == COUNT(DISTINCT
+    pick), and the global min hash is always picked so doc_sig ==
+    MIN(h)."""
+    from . import pipelines as P
+
+    return P.fingerprint_pipeline(sf_dir)
+
+
+# B^(7-d) mod 2^64 for offset d in 0..7, B = 1099511628211 (FNV prime)
+_FP_POWERS = [
+    "14218562807570617051", "15895002104753931833", "913917546033277539",
+    "11527715348014283921", "624165263380053675", "956575116354345",
+    "1099511628211", "1",
+]
+_FP_PW_CASE = "CASE b.j - a.j " + " ".join(
+    f"WHEN {d} THEN CAST('{p}' AS HUGEINT)" for d, p in enumerate(_FP_POWERS)
+) + " END"
+_T64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+FINGERPRINTS_SQL = r"""
+WITH docs0 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+  FROM documents
+),
+lens AS (SELECT doc_id, length(s) AS n FROM docs0),
+chars AS (
+  SELECT doc_id, s, unnest(generate_series(1, length(s))) AS j
+  FROM docs0 WHERE length(s) > 0
+),
+cpts AS (
+  SELECT doc_id, j, CAST(unicode(substr(s, j, 1)) AS HUGEINT) AS c FROM chars
+),
+-- full-window rolling hashes: position i (1-based) covers chars i..i+7
+hs AS (
+  SELECT a.doc_id, a.j AS pos,
+         CAST(SUM((b.c * __PW__) % __T64__) % __T64__ AS UBIGINT) AS h
+  FROM cpts a
+  JOIN cpts b ON b.doc_id = a.doc_id AND b.j BETWEEN a.j AND a.j + 7
+  JOIN lens l ON l.doc_id = a.doc_id
+  WHERE a.j + 7 <= l.n
+  GROUP BY a.doc_id, a.j
+),
+-- short docs (0 < n < 8): hash of s padded with NULs = same sum, absent
+-- chars contribute zero
+shorth AS (
+  SELECT a.doc_id,
+         CAST(SUM((b.c * __PW__) % __T64__) % __T64__ AS UBIGINT) AS h
+  FROM (SELECT doc_id, 1 AS j FROM lens WHERE n > 0 AND n < 8) a
+  JOIN cpts b ON b.doc_id = a.doc_id
+  GROUP BY a.doc_id
+),
+minh AS (SELECT doc_id, MIN(h) AS mh FROM hs GROUP BY doc_id),
+wm AS (
+  SELECT a.doc_id, a.pos AS w, MIN(b.h) AS wmin
+  FROM hs a JOIN hs b ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3
+  JOIN lens l ON l.doc_id = a.doc_id
+  WHERE a.pos <= l.n - 10
+  GROUP BY a.doc_id, a.pos
+),
+picked AS (
+  SELECT m.doc_id, m.w, MAX(b.pos) AS pick
+  FROM wm m JOIN hs b
+    ON b.doc_id = m.doc_id AND b.pos BETWEEN m.w AND m.w + 3 AND b.h = m.wmin
+  GROUP BY m.doc_id, m.w
+),
+nfp AS (SELECT doc_id, COUNT(DISTINCT pick) AS nf FROM picked GROUP BY doc_id)
+SELECT l.doc_id,
+       CAST(CASE WHEN l.n = 0 THEN 0
+                 WHEN l.n < 8 THEN 1
+                 WHEN l.n <= 11 THEN 1
+                 ELSE nfp.nf END AS BIGINT) AS n_fingerprints,
+       CASE WHEN l.n = 0 THEN CAST(0 AS UBIGINT)
+            WHEN l.n < 8 THEN sh.h
+            ELSE mn.mh END AS doc_sig
+FROM lens l
+LEFT JOIN shorth sh USING (doc_id)
+LEFT JOIN minh mn USING (doc_id)
+LEFT JOIN nfp USING (doc_id)
+ORDER BY l.doc_id
+""".replace("__PW__", _FP_PW_CASE).replace("__T64__", _T64)
+
+
+# --------------------------------------------------------------- q37
+def dedup_embedding_q(sf_dir: str):
+    """Hyperplane-LSH embedding near-dup vs a brute-force SQL oracle:
+    DuckDB reconstructs the planted float32 clone vectors bit-exactly
+    (plain-arithmetic perturbation, same double ops then FLOAT cast) and
+    scores ALL pairs with first-principles double cosine. Equality checks
+    the engine's precision (exact in-bucket verify) AND recall (3-table
+    OR-construction drives per-pair miss probability to ~1e-4 at cosine
+    0.98; complete on this corpus)."""
+    from . import pipelines as P
+
+    return P.dedup_embedding_pipeline(sf_dir)
+
+
+DEDUP_EMBEDDING_SQL = r"""
+WITH allv AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS id,
+         list(CAST(e * (1.0 + 0.003 * (((vec_id * 31 + (j - 1) * 17) % 13) - 6)) AS FLOAT) ORDER BY j) AS embedding
+  FROM (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           unnest(embedding) AS e,
+           unnest(generate_series(1, len(embedding))) AS j
+    FROM embeddings WHERE vec_id < 20
+  )
+  GROUP BY vec_id
+),
+ex AS (
+  SELECT id, unnest(generate_series(1, len(embedding))) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM allv
+),
+norms AS (SELECT id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY id),
+dots AS (
+  SELECT x.id AS id_a, y.id AS id_b, SUM(x.e * y.e) AS d
+  FROM ex x JOIN ex y ON y.j = x.j AND x.id < y.id
+  GROUP BY x.id, y.id
+)
+SELECT id_a, id_b, round(d / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots JOIN norms na ON na.id = id_a JOIN norms nb ON nb.id = id_b
+WHERE d / (na.nrm * nb.nrm) >= 0.98
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------- q31
 def ngram_jaccard_pairs(sf_dir: str):
     """The exact n-gram-Jaccard near-dup pipeline (rare-shingle inverted
@@ -1356,5 +1578,8 @@ SQL_PAIRED = {
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "dedup_simhash": (simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_minhash": (minhash_clusters, MINHASH_CLUSTERS_SQL),
+    "hll_distinct": (hll_distinct_q, HLL_DISTINCT_SQL),
+    "fingerprints": (fingerprints_q, FINGERPRINTS_SQL),
+    "dedup_embedding": (dedup_embedding_q, DEDUP_EMBEDDING_SQL),
     "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
 }
