@@ -42,7 +42,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_lsh": P.ann_lsh_pipeline,
             "ann_ivf": P.ann_ivf_pipeline,
             "crawl_priority_log": P.crawl_priority_pipeline,
-            "multimodal_decode": P.multimodal_pipeline,
         }
     )
     return q

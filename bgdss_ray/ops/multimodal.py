@@ -44,12 +44,16 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synth_media_table(ids: list[str], kind: str = "image") -> pa.Table:
-    """Deterministic fake media rows (payload bytes derived from id)."""
+    """Deterministic fake media rows (payload bytes derived from id).
+
+    md5-family derivation (not blake2b) and an ASCII-hex payload body so
+    the DuckDB oracle for the decode gate reconstructs payload AND
+    features exactly (md5/md5_number_upper + repeat work on VARCHAR)."""
     payloads, metas = [], []
     for i in ids:
-        h = hashlib.blake2b(i.encode(), digest_size=16).digest()
+        h = hashlib.md5(i.encode()).digest()
         size = 256 + h[0] * 16
-        payloads.append(h * (size // 16))
+        payloads.append((hashlib.md5(i.encode()).hexdigest() * (size // 32)).encode())
         if kind == "image":
             metas.append(
                 {"mime": "image/png", "width": 64 + h[1], "height": 64 + h[2],
@@ -106,8 +110,13 @@ class MediaDecoder:
             raise ValueError(f"unknown decode backend {decode_backend!r}")
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
-        """Deterministic 16-dim 'embedding' from payload bytes."""
-        d = hashlib.blake2b(payload, digest_size=self.FEAT_DIM * 4).digest()
+        """Deterministic 16-dim 'embedding' from payload bytes: four
+        chained md5 digests (payload || '0'..'3'), little-endian uint32
+        lanes scaled to [0,1) — each lane is ``(md5_number(payload || k)
+        >> 32*t) & 0xffffffff / 2^32`` in the DuckDB oracle."""
+        d = b"".join(
+            hashlib.md5(payload + str(k).encode()).digest() for k in range(4)
+        )
         return (
             np.frombuffer(d, dtype=np.uint32).astype(np.float64) / np.float64(2**32)
         )

@@ -302,17 +302,39 @@ def fingerprint_pipeline(sf_dir: str):
 
 
 def multimodal_pipeline(sf_dir: str):
-    """Synth media derived from testdata doc_ids → actor-pool decode."""
+    """Synth media derived from testdata doc_ids → actor-pool decode.
+
+    Ids come from an order-independent predicate (doc_id < 200, not
+    ``limit``) and the output flattens the media_meta struct + 16-dim
+    feature list into scalar columns, so the whole gate pairs against a
+    DuckDB oracle that re-derives payloads and features from md5."""
     from .ops.multimodal import decode_media, synth_media_table
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    # limit() pushes down — only 200 ids ever reach the driver
-    ids = [f"doc-{i}" for i in ds.limit(200).to_pandas()["doc_id"]]
+    picked = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 200)), batch_format="pyarrow"
+    ).to_pandas()
+    ids = sorted(f"doc-{i}" for i in picked["doc_id"])
     media = rd.from_arrow(synth_media_table(ids))
     out = decode_media(media, concurrency=2, batch_size=32)
-    return out.map_batches(
-        lambda t: t.drop_columns(["payload"]), batch_format="pyarrow"
-    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        meta = t.column("media_meta")
+        feat = np.asarray(t.column("feat").to_pylist(), dtype=np.float64)
+        cols = {
+            "media_id": t.column("media_id"),
+            "mime": pc.struct_field(meta, "mime"),
+            "width": pc.struct_field(meta, "width").cast(pa.int64()),
+            "height": pc.struct_field(meta, "height").cast(pa.int64()),
+            "duration_ms": pc.struct_field(meta, "duration_ms").cast(pa.int64()),
+            "n_frames": pc.struct_field(meta, "n_frames").cast(pa.int64()),
+            "decoded_ok": t.column("decoded_ok"),
+        }
+        for j in range(feat.shape[1] if len(feat) else 16):
+            cols[f"feat_{j:02d}"] = pa.array(feat[:, j])
+        return pa.table(cols)
+
+    return out.map_batches(flatten, batch_format="pyarrow")
 
 
 def hll_distinct_pipeline(sf_dir: str):

@@ -1428,6 +1428,61 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------- q38
+def multimodal_decode_q(sf_dir: str):
+    """The multimodal decode gate (synth media → actor-pool MediaDecoder →
+    flattened features) SQL-paired end to end: DuckDB re-derives the
+    ASCII-hex payload (repeat of md5 hexdigest, size from the first
+    digest byte) and all 16 feature lanes (four chained md5 digests,
+    little-endian uint32 lanes / 2^32 — md5_number_upper/lower give the
+    two 64-bit halves) — proving the decode plumbing computes exactly
+    what the fake codec specifies."""
+    from . import pipelines as P
+
+    return P.multimodal_pipeline(sf_dir)
+
+
+_MM_FEATS = ",\n       ".join(
+    f"MAX(CASE WHEN j = {j} THEN v END) AS feat_{j:02d}" for j in range(16)
+)
+
+MULTIMODAL_DECODE_SQL = r"""
+WITH m AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS media_id
+  FROM documents WHERE doc_id < 200
+),
+p AS (
+  SELECT media_id,
+         CAST(64 + ((md5_number_upper(media_id) >> 8) & 255) AS BIGINT) AS width,
+         CAST(64 + ((md5_number_upper(media_id) >> 16) & 255) AS BIGINT) AS height,
+         repeat(md5(media_id),
+                CAST((256 + (md5_number_upper(media_id) & 255) * 16) // 32 AS INT)
+         ) AS payload_s
+  FROM m
+),
+f AS (
+  SELECT media_id, k,
+         md5_number_upper(payload_s || CAST(k AS VARCHAR)) AS hu,
+         md5_number_lower(payload_s || CAST(k AS VARCHAR)) AS hl
+  FROM p CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+),
+lanes AS (
+  SELECT media_id, k * 4 + t AS j,
+         CAST(CASE t WHEN 0 THEN hu & 4294967295 WHEN 1 THEN hu >> 32
+                     WHEN 2 THEN hl & 4294967295 ELSE hl >> 32
+              END AS DOUBLE) / 4294967296.0 AS v
+  FROM f CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS t)
+)
+SELECT p.media_id, 'image/png' AS mime, p.width, p.height,
+       CAST(0 AS BIGINT) AS duration_ms, CAST(1 AS BIGINT) AS n_frames,
+       TRUE AS decoded_ok,
+       __FEATS__
+FROM p JOIN lanes USING (media_id)
+GROUP BY p.media_id, p.width, p.height
+ORDER BY p.media_id
+""".replace("__FEATS__", _MM_FEATS)
+
+
 # --------------------------------------------------------------- q31
 def ngram_jaccard_pairs(sf_dir: str):
     """The exact n-gram-Jaccard near-dup pipeline (rare-shingle inverted
@@ -1581,5 +1636,6 @@ SQL_PAIRED = {
     "hll_distinct": (hll_distinct_q, HLL_DISTINCT_SQL),
     "fingerprints": (fingerprints_q, FINGERPRINTS_SQL),
     "dedup_embedding": (dedup_embedding_q, DEDUP_EMBEDDING_SQL),
+    "multimodal_decode": (multimodal_decode_q, MULTIMODAL_DECODE_SQL),
     "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
 }
