@@ -37,10 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl_documents": P.crawl_documents_pipeline,
             "crawl_metrics": P.crawl_metrics_pipeline,
             "resolutions_table": P.resolutions_pipeline,
-            # training-data ops (non-SQL; spanify/llm/mds/ngram/distinct
-            # moved into SQL_PAIRED in round 3)
-            "ann_lsh": P.ann_lsh_pipeline,
-            "ann_ivf": P.ann_ivf_pipeline,
+            # remaining non-SQL entry (deterministic vs the driver-table
+            # mode in tests; everything else moved into SQL_PAIRED in r3)
             "crawl_priority_log": P.crawl_priority_pipeline,
         }
     )

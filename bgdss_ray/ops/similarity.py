@@ -16,6 +16,8 @@ Deterministic tie-break everywhere: (-score, id).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -25,6 +27,49 @@ import ray
 
 def _as_matrix(col) -> np.ndarray:
     return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+# Quantization scale for the SQL-checkable integer-plane mode: multiplying a
+# float by 2^20 is an exact exponent shift, and floor() agrees bit-for-bit
+# between numpy and DuckDB, so sign bits / centroid argmax computed over the
+# quantized int64 vectors are reproducible outside numpy (no RandomState).
+QUANT_SCALE = float(1 << 20)
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    return np.floor(m * QUANT_SCALE).astype(np.int64)
+
+
+def _md5_w(key: str, mod: int) -> int:
+    """Signed pseudo-random weight in [-(mod//2), mod//2] from the
+    little-endian first 8 bytes of md5(key) — the exact value DuckDB's
+    ``md5_number_upper(key) % mod`` reproduces (same trick as
+    ``dedup.md5_hash64``)."""
+    h = int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[:8], "little")
+    return (h % mod) - mod // 2
+
+
+def oracle_planes(n_tables: int, dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic integer hyperplanes (L, dim, b): md5-derived uniform
+    weights, pseudo-random enough for real LSH recall yet regenerable
+    bit-for-bit by a DuckDB oracle (``md5_number_upper('pl:t:j:b')``).
+    One-time setup cost: L*dim*b tiny hashes on the driver."""
+    out = np.empty((n_tables, dim, n_planes), dtype=np.int64)
+    for t in range(n_tables):
+        for j in range(dim):
+            for b in range(n_planes):
+                out[t, j, b] = _md5_w(f"pl:{t}:{j}:{b}", 2000001)
+    return out
+
+
+def oracle_centroids(n_centroids: int, dim: int) -> np.ndarray:
+    """Deterministic integer coarse-quantizer directions (C, dim),
+    md5-derived (``md5_number_upper('ct:c:j')`` in the oracle)."""
+    out = np.empty((n_centroids, dim), dtype=np.int64)
+    for c in range(n_centroids):
+        for j in range(dim):
+            out[c, j] = _md5_w(f"ct:{c}:{j}", 2001)
+    return out
 
 
 class BruteForceScorer:
@@ -117,6 +162,10 @@ class LshScorer:
     def keys_of(self, m: np.ndarray) -> np.ndarray:
         n_tables = self.planes.shape[0]
         n_planes = self.planes.shape[2]
+        if self.planes.dtype.kind in "iu":
+            # exact-integer mode: quantized rows x integer planes (sign of
+            # the dot is scale-invariant, so raw unnormalized rows are fine)
+            m = _quantize(m)
         out = np.empty((m.shape[0], n_tables), dtype=np.uint64)
         for t in range(n_tables):
             signs = (m @ self.planes[t]) > 0
@@ -173,6 +222,7 @@ def lsh_topk(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Approximate top-k: multi-table hyperplane LSH, fully distributed.
 
@@ -182,14 +232,22 @@ def lsh_topk(
     once (ray.put); candidate matching, exact scoring, and partial top-k
     all happen inside one map pass — no shuffle, no vector ever reaches
     the driver. Recall grows with L at linear candidate cost (the standard
-    cosine-LSH trade, Indyk-Motwani / Charikar)."""
+    cosine-LSH trade, Indyk-Motwani / Charikar).
+
+    ``planes``: explicit (L, dim, b) plane tensor. An integer dtype selects
+    the exact-quantized key path (``oracle_planes`` + floor(x*2^20) int64
+    dots) whose every bit a DuckDB oracle can recompute."""
     d = query_mat.shape[1]
-    planes = np.random.RandomState(seed).standard_normal((n_tables, d, n_planes))
+    if planes is None:
+        planes = np.random.RandomState(seed).standard_normal((n_tables, d, n_planes))
+    n_tables, n_planes = planes.shape[0], planes.shape[2]
     qn = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True).clip(min=1e-12)
     # query probe keys: exact bucket + every 1-bit flip, per table
+    # (sign of the dot is scale-invariant: normalized and raw rows agree)
+    qkmat = _quantize(query_mat) if planes.dtype.kind in "iu" else qn
     qkeys = np.empty((len(query_ids), n_tables), dtype=np.uint64)
     for t in range(n_tables):
-        signs = (qn @ planes[t]) > 0
+        signs = (qkmat @ planes[t]) > 0
         qkeys[:, t] = (
             signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)
         ).sum(axis=1)
@@ -218,6 +276,7 @@ def ivf_topk(
     seed: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """IVF-flat approximate top-k: coarse quantizer = seeded random unit
     directions (no training pass needed, deterministic); each batch assigns
@@ -225,13 +284,26 @@ def ivf_topk(
     query probes — one broadcast map pass, partial top-k per batch, no
     shuffle, no vector off-worker. Per-query work touches
     ~n * n_probe / n_centroids rows.
+
+    ``cents``: explicit (C, dim) centroid matrix. Integer dtype selects the
+    exact-quantized assignment path (``oracle_centroids`` + floor(x*2^20)
+    int64 dots, argmax ties to the lowest centroid id) that a DuckDB oracle
+    recomputes bit-exactly; scoring stays exact double cosine either way.
     """
     d = query_mat.shape[1]
-    rng = np.random.RandomState(seed)
-    cents = rng.standard_normal((n_centroids, d))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if cents is None:
+        rng = np.random.RandomState(seed)
+        cents = rng.standard_normal((n_centroids, d))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    quantized = cents.dtype.kind in "iu"
     qn = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True).clip(min=1e-12)
-    qprobe = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    qdots = (_quantize(query_mat) if quantized else qn) @ cents.T
+    # probe the n_probe best centroids; ties broken by lowest centroid id
+    # (lexsort secondary key) so the integer mode is order-deterministic
+    qprobe = np.empty((len(query_ids), n_probe), dtype=np.int64)
+    for qi in range(len(query_ids)):
+        order = np.lexsort((np.arange(cents.shape[0]), -qdots[qi]))
+        qprobe[qi] = order[:n_probe]
 
     ref = ray.put({"cents": cents, "qids": np.asarray(query_ids),
                    "qn": qn, "qprobe": qprobe})
@@ -252,7 +324,10 @@ def ivf_topk(
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             m = _as_matrix(batch.column(vec_col))
             mn = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
-            cid = (mn @ self.cents.T).argmax(axis=1).astype(np.int32)
+            am = _quantize(m) if self.cents.dtype.kind in "iu" else mn
+            # np.argmax keeps the first (lowest-id) centroid on exact ties —
+            # matches the oracle's ORDER BY dot DESC, centroid ASC
+            cid = (am @ self.cents.T).argmax(axis=1).astype(np.int32)
             out_q, out_id, out_s = [], [], []
             for qi, qid in enumerate(self.qids):
                 match = np.isin(cid, self.qprobe[qi])

@@ -232,29 +232,48 @@ def dedup_embedding_pipeline(sf_dir: str):
 
 
 def ann_lsh_pipeline(sf_dir: str):
-    from .ops.similarity import lsh_topk
+    """Multi-table hyperplane-LSH ANN gate, SQL-paired: the gate runs the
+    integer-arithmetic plane tensor (``oracle_planes``) with exact-quantized
+    sign bits (floor(x*2^20) int64 dots), so the DuckDB oracle regenerates
+    the same planes, keys, 1-bit probe sets, candidate union and double
+    cosine ranking bit-for-bit — the *approximation itself* is verified,
+    not just its recall. The default gaussian-seeded mode (and its recall
+    vs brute force) stays covered by tests/test_ops_similarity.py."""
+    from .ops.similarity import oracle_planes, lsh_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     qdf = ds.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
     ).to_pandas()
     qmat = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
-    out = lsh_topk(ds, qdf["vec_id"].to_numpy(), qmat, k=10)
+    planes = oracle_planes(8, qmat.shape[1], 8)
+    out = lsh_topk(ds, qdf["vec_id"].to_numpy(), qmat, k=10, planes=planes)
+    out = out[["query_id", "id", "score"]].copy()
+    out["query_id"] = out["query_id"].astype("int64")
+    out["id"] = out["id"].astype("int64")
     out["score"] = out["score"].round(6)
-    return out
+    return out.reset_index(drop=True)
 
 
 def ann_ivf_pipeline(sf_dir: str):
-    from .ops.similarity import ivf_topk
+    """IVF-flat ANN gate, SQL-paired: integer coarse quantizer
+    (``oracle_centroids``) + exact-quantized argmax assignment and probe
+    selection, so DuckDB recomputes assignment/probing bit-exactly and
+    re-ranks candidates with first-principles double cosine."""
+    from .ops.similarity import oracle_centroids, ivf_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     qdf = ds.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
     ).to_pandas()
     qmat = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
-    out = ivf_topk(ds, qdf["vec_id"].to_numpy(), qmat, k=10)
+    cents = oracle_centroids(16, qmat.shape[1])
+    out = ivf_topk(ds, qdf["vec_id"].to_numpy(), qmat, k=10, n_probe=8, cents=cents)
+    out = out[["query_id", "id", "score"]].copy()
+    out["query_id"] = out["query_id"].astype("int64")
+    out["id"] = out["id"].astype("int64")
     out["score"] = out["score"].round(6)
-    return out
+    return out.reset_index(drop=True)
 
 
 def crawl_priority_pipeline(sf_dir: str):

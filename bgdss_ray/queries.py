@@ -1599,6 +1599,146 @@ FROM r
 )
 
 
+# --------------------------------------------------------------- q33
+def ann_lsh_q(sf_dir: str):
+    """Multi-table hyperplane-LSH ANN vs a from-first-principles DuckDB
+    reimplementation of the ENTIRE approximate path: the oracle regenerates
+    the integer plane tensor (``oracle_planes`` md5 weights), quantizes every
+    vector with floor(x*2^20) (exact in both engines), recomputes all 8
+    table keys per vector from integer dot signs, builds each query's
+    probe set (exact bucket + every 1-bit XOR flip), takes the identical
+    candidate union, and re-ranks with exact double cosine — so bucketing,
+    probing AND ranking are all verified, not just recall."""
+    from . import pipelines as P
+
+    return P.ann_lsh_pipeline(sf_dir)
+
+
+_ANN_EX_SQL = r"""
+ex AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         unnest(generate_series(1, len(embedding))) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+),
+qz AS (
+  SELECT id, j, CAST(floor(e * 1048576.0) AS BIGINT) AS qe FROM ex
+),
+norms AS (SELECT id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY id)
+"""
+
+_ANN_TOPK_SQL = r"""
+scored AS (
+  SELECT c.query_id, c.id, SUM(xa.e * xb.e) AS d
+  FROM cand c
+  JOIN ex xa ON xa.id = c.query_id
+  JOIN ex xb ON xb.id = c.id AND xb.j = xa.j
+  GROUP BY c.query_id, c.id
+)
+SELECT query_id, id, round(s, 6) AS score
+FROM (
+  SELECT sc.query_id, sc.id, sc.d / (na.nrm * nb.nrm) AS s,
+         ROW_NUMBER() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.d / (na.nrm * nb.nrm) DESC, sc.id) AS rn
+  FROM scored sc
+  JOIN norms na ON na.id = sc.query_id
+  JOIN norms nb ON nb.id = sc.id
+)
+WHERE rn <= 10
+ORDER BY query_id, id
+"""
+
+ANN_LSH_SQL = (
+    r"""
+WITH __EX__,
+planes AS (
+  SELECT t.t, j.j, b.b,
+         CAST(md5_number_upper(
+              'pl:' || t.t || ':' || (j.j - 1) || ':' || b.b) % 2000001
+              AS BIGINT) - 1000000 AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS t) t
+  CROSS JOIN (SELECT DISTINCT j FROM ex) j
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+bits AS (
+  SELECT x.id, p.t, p.b,
+         CASE WHEN SUM(x.qe * p.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM qz x JOIN planes p ON p.j = x.j
+  GROUP BY x.id, p.t, p.b
+),
+keys AS (
+  SELECT id, t, SUM(bit * (1 << b)) AS key FROM bits GROUP BY id, t
+),
+qprobes AS (
+  SELECT id AS query_id, t, key AS pkey FROM keys WHERE id < 5
+  UNION
+  SELECT k.id, k.t, xor(k.key, 1 << f.b)
+  FROM keys k
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) f
+  WHERE k.id < 5
+),
+cand AS (
+  SELECT DISTINCT p.query_id, k.id
+  FROM keys k JOIN qprobes p ON p.t = k.t AND p.pkey = k.key
+),
+__TOPK__
+""".replace("__EX__", _ANN_EX_SQL)
+    .replace("__TOPK__", _ANN_TOPK_SQL)
+)
+
+
+# --------------------------------------------------------------- q34
+def ann_ivf_q(sf_dir: str):
+    """IVF-flat ANN vs a full DuckDB reimplementation: the oracle
+    regenerates the integer coarse quantizer (``oracle_centroids``),
+    assigns every quantized vector to its argmax centroid (ties to the
+    lowest id, matching np.argmax), selects each query's 8 probed
+    centroids by the same integer dots, and re-ranks the identical
+    candidate set with exact double cosine."""
+    from . import pipelines as P
+
+    return P.ann_ivf_pipeline(sf_dir)
+
+
+ANN_IVF_SQL = (
+    r"""
+WITH __EX__,
+cents AS (
+  SELECT c.c, j.j,
+         CAST(md5_number_upper('ct:' || c.c || ':' || (j.j - 1)) % 2001
+              AS BIGINT) - 1000 AS w
+  FROM (SELECT unnest(generate_series(0, 15)) AS c) c
+  CROSS JOIN (SELECT DISTINCT j FROM ex) j
+),
+dots AS (
+  SELECT x.id, ct.c, SUM(x.qe * ct.w) AS d
+  FROM qz x JOIN cents ct ON ct.j = x.j
+  GROUP BY x.id, ct.c
+),
+assign AS (
+  SELECT id, c AS cid FROM (
+    SELECT id, c,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d DESC, c) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT id AS query_id, c FROM (
+    SELECT id, c,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d DESC, c) AS rn
+    FROM dots WHERE id < 5
+  ) WHERE rn <= 8
+),
+cand AS (
+  SELECT q.query_id, a.id
+  FROM assign a JOIN qprobe q ON q.c = a.cid
+),
+__TOPK__
+""".replace("__EX__", _ANN_EX_SQL)
+    .replace("__TOPK__", _ANN_TOPK_SQL)
+)
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -1638,4 +1778,6 @@ SQL_PAIRED = {
     "dedup_embedding": (dedup_embedding_q, DEDUP_EMBEDDING_SQL),
     "multimodal_decode": (multimodal_decode_q, MULTIMODAL_DECODE_SQL),
     "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
+    "ann_lsh": (ann_lsh_q, ANN_LSH_SQL),
+    "ann_ivf": (ann_ivf_q, ANN_IVF_SQL),
 }

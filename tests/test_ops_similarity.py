@@ -63,3 +63,53 @@ def test_ivf_recall_reasonable(emb):
     assert r >= 0.5, f"IVF recall too low: {r}"
     top1 = approx[approx["rank"] == 1]
     assert dict(zip(top1["query_id"], top1["id"])) == {q: q for q in qids}
+
+
+def test_oracle_quantized_modes(emb):
+    """Integer-plane / integer-centroid exact-quantized modes (the
+    SQL-paired gate path): self still retrieves at rank 1 with score 1,
+    recall stays reasonable, and the LSH keys match a from-scratch
+    pure-python recompute of floor(x*2^20) sign bits over md5 weights."""
+    from bgdss_ray.ops.similarity import (
+        LshScorer, oracle_centroids, oracle_planes, ivf_topk,
+    )
+
+    ds, df, qids, qmat = emb
+    exact = brute_force_topk(ds, qids, qmat, k=10)
+
+    planes = oracle_planes(8, qmat.shape[1], 8)
+    approx = lsh_topk(ds, qids, qmat, k=10, planes=planes)
+    assert recall_at_k(approx, exact, k=10) >= 0.5
+    top1 = approx[approx["rank"] == 1]
+    assert dict(zip(top1["query_id"], top1["id"])) == {q: q for q in qids}
+    assert np.allclose(top1["score"], 1.0)
+
+    cents = oracle_centroids(16, qmat.shape[1])
+    approx = ivf_topk(ds, qids, qmat, k=10, n_probe=8, cents=cents)
+    assert recall_at_k(approx, exact, k=10) >= 0.5
+    top1 = approx[approx["rank"] == 1]
+    assert dict(zip(top1["query_id"], top1["id"])) == {q: q for q in qids}
+
+    # keys: independent scalar recompute of the quantized sign-bit path
+    sc = LshScorer({"planes": planes, "qids": qids, "qn": qmat,
+                    "probes": np.zeros((len(qids), 8, 9), np.uint64)},
+                   10, "vec_id", "embedding")
+    m = np.asarray(df["embedding"].tolist(), dtype=np.float64)[:20]
+    keys = sc.keys_of(m)
+    import hashlib
+
+    def w(s, mod):
+        h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+        return (h % mod) - mod // 2
+
+    for i in range(m.shape[0]):
+        qv = [int(np.floor(v * (1 << 20))) for v in m[i]]
+        for t in range(8):
+            key = 0
+            for b in range(8):
+                dot = sum(
+                    qv[j] * w(f"pl:{t}:{j}:{b}", 2000001)
+                    for j in range(len(qv))
+                )
+                key |= (1 if dot > 0 else 0) << b
+            assert key == int(keys[i, t])
