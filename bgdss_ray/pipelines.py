@@ -30,7 +30,7 @@ DRIVER_CFG = CrawlConfig(max_depth=3, fetch_concurrency=4)
 
 # bump when checkpoint layout/schema changes so stale /tmp caches from an
 # older code version are never reused
-_CACHE_VERSION = "v3"
+_CACHE_VERSION = "v4"  # v4: url/content hashes switched to md5 (SQL-pairable)
 
 
 def _crawl_dir() -> str:

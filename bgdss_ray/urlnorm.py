@@ -8,9 +8,13 @@ strip, path normalization) because the dedup key at 10^10-URL scale must be a
 stable 64-bit hash of the canonical form, not the raw string.
 
 ``url_hash64`` is the one hash used everywhere (engine stages, oracle,
-seen-set shards) so both sides of every equality test share it. blake2b is
-used for cross-process/version stability; swap for xxhash64 on a real
-cluster for ~5x hashing throughput (same 64-bit contract).
+seen-set shards) so both sides of every equality test share it. The value
+is the little-endian first 8 bytes of md5 — exactly DuckDB's
+``md5_number_upper`` — so crawl artifacts (url_hash, the synthetic web's
+content draws) are reproducible by the SQL oracles from first principles.
+Swap for xxhash64 on a real cluster for ~5x hashing throughput (same
+64-bit contract); the oracle pairing is a test-fixture property, not an
+engine dependency.
 """
 
 from __future__ import annotations
@@ -48,9 +52,10 @@ def host_of(url: str) -> str:
 
 
 def hash64_one(text: str) -> int:
-    """Stable unsigned 64-bit hash of one string."""
+    """Stable unsigned 64-bit hash of one string
+    (== DuckDB ``md5_number_upper(text)``)."""
     return int.from_bytes(
-        hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "big"
+        hashlib.md5(text.encode("utf-8")).digest()[:8], "little"
     )
 
 
@@ -58,13 +63,13 @@ def url_hash64(texts) -> np.ndarray:
     """Vectorized stable 64-bit hash → uint64 ndarray.
 
     Accepts any iterable of str (python list, pandas Series, pyarrow Array
-    via .to_pylist upstream). blake2b per item runs ~1M/s/core; at cluster
+    via .to_pylist upstream). md5 per item runs ~1M/s/core; at cluster
     scale substitute xxhash.xxh64_intdigest with the same signature.
     """
-    b2 = hashlib.blake2b
+    m5 = hashlib.md5
     return np.fromiter(
         (
-            int.from_bytes(b2(t.encode("utf-8"), digest_size=8).digest(), "big")
+            int.from_bytes(m5(t.encode("utf-8")).digest()[:8], "little")
             for t in texts
         ),
         dtype=np.uint64,
