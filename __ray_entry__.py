@@ -33,7 +33,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(
         {
             # crawl engine (non-SQL; deterministic vs sequential oracle in tests)
-            "crawl_log": P.crawl_log_pipeline,
             "crawl_documents": P.crawl_documents_pipeline,
             "crawl_metrics": P.crawl_metrics_pipeline,
             "resolutions_table": P.resolutions_pipeline,

@@ -27,6 +27,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from . import crawl_oracle as _crawl_oracle
 from .config import NOT_CLASSIFIED, SENTINEL
 
 
@@ -1739,6 +1740,21 @@ __TOPK__
 )
 
 
+# --------------------------------------------------------------- q35
+def crawl_log_q(sf_dir: str):
+    """The ENTIRE BFS crawl log SQL-paired: DuckDB regenerates the driver's
+    synthetic web from its md5 draws and replays the crawl — seed
+    selection, DOM-ordered link extraction, first-occurrence-wins okey
+    dedup, robots + depth gates, FIFO crawl_seq, the 404/flaky fetch
+    ladder, exact utf-8 body lengths (all three corrupt-PDF branches), and
+    the politeness virtual clock (recursive-CTE fold incl. burst window
+    and pdf inter-download delay) with flaky retry backoff. See
+    ``bgdss_ray.crawl_oracle``."""
+    from . import pipelines as P
+
+    return P.crawl_log_pipeline(sf_dir)
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -1780,4 +1796,5 @@ SQL_PAIRED = {
     "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
     "ann_lsh": (ann_lsh_q, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf_q, ANN_IVF_SQL),
+    "crawl_log": (crawl_log_q, _crawl_oracle.CRAWL_LOG_SQL),
 }
