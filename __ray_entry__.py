@@ -32,10 +32,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     q.update(
         {
-            # crawl engine (non-SQL; deterministic vs sequential oracle in tests)
+            # crawl engine, nested/timing-bearing shapes: the nested spans
+            # payload and the deterministic metric columns are SQL-paired
+            # as crawl_doc_spans / crawl_wave_counts in SQL_PAIRED
             "crawl_documents": P.crawl_documents_pipeline,
             "crawl_metrics": P.crawl_metrics_pipeline,
-            "resolutions_table": P.resolutions_pipeline,
             # remaining non-SQL entry (deterministic vs the driver-table
             # mode in tests; everything else moved into SQL_PAIRED in r3)
             "crawl_priority_log": P.crawl_priority_pipeline,

@@ -251,8 +251,11 @@ restext AS (  -- synth.resolution_text rebuilt string-for-string
     END,
     CASE WHEN u_ved < 0.70 THEN {VEDS}[1 + ved_i] END,
     CASE WHEN u_dot < 0.85
+         -- synth applies .replace(',', '.') to the WHOLE sentence up to
+         -- the value (so '2025,' reads '2025.'); only the cents separator
+         -- is appended afterwards and stays a comma
          THEN 'A despesa correrá à conta da dotação orçamentária 10.' ||
-              code || '.' || unit4 || '.2025, no valor de R$ ' || val_fmt ||
+              code || '.' || unit4 || '.2025. no valor de R$ ' || val_fmt ||
               ',' || cents2 || '.'
     END,
     'Belo Horizonte, ' || dd || ' de ' || {MONTHS}[m] || ' de ' || y || '.'
@@ -384,6 +387,26 @@ vtimes AS (
 """
 
 
+PDFTEXT = f"""
+pdftext AS (  -- decoded body after the %PDF-1.4 prefix, incl. the pad tail
+  -- body = b'%PDF-1.4\\n' + utf8(text) [+ b'\\n%' + b'.' * (1400 - 9 - tl)]
+  -- (synth.pdf_body valid branch); strlen() is BYTES in DuckDB, matching
+  -- the byte-count pad arithmetic exactly
+  SELECT {_durl("r.host", "r.y", "r.m", "r.k")} AS url,
+         CASE WHEN 9 + strlen(r.text) < 1400
+              THEN r.text || chr(10) || '%' ||
+                   repeat('.', 1400 - 9 - strlen(r.text))
+              ELSE r.text END AS ftext
+  FROM restext r WHERE r.u_corrupt >= 0.05
+),
+okpdf AS (  -- crawled, fetched OK, passed the PDF validity filter
+  SELECT pt.url, pt.ftext
+  FROM pdftext pt
+  JOIN statuses s ON s.url = pt.url AND s.status = 200
+)
+"""
+
+
 def _compose(*sections: str) -> str:
     return "WITH RECURSIVE " + ",\n".join(s.strip() for s in sections) + "\n"
 
@@ -404,4 +427,145 @@ JOIN vtimes v ON v.url = c.url
 LEFT JOIN listing_len ll ON ll.url = c.url
 LEFT JOIN pdf_len pl ON pl.url = c.url
 ORDER BY crawl_seq
+"""
+
+
+# Every span of every document the crawl emits, bit-exact: listing spans
+# come straight from the DOM-ordered page_items (desc paragraphs interleaved
+# with link titles; media_ref is the canonical destination URL), pdf spans
+# from the padded resolution text split on blank lines (parse_pdf_spans).
+# offset = rank among the page's emitted spans (the regex scan index —
+# synth never emits empty href/title items, so no index gaps).
+CRAWL_DOC_SPANS_SQL = _compose(PRELUDE, WAVES, RESTEXT, ITEMS, PDFTEXT) + """
+SELECT c.url AS doc_id,
+       CAST(row_number() OVER (PARTITION BY pi.url ORDER BY pi.ord) - 1
+            AS INT) AS "offset",
+       pi.sk AS kind, pi.content AS text, pi.ref AS media_ref
+FROM crawl c
+JOIN statuses s ON s.url = c.url AND s.status = 200
+JOIN page_items pi ON pi.url = c.url
+WHERE NOT c.is_pdf
+UNION ALL
+SELECT q.url AS doc_id,
+       CAST(row_number() OVER (PARTITION BY q.url ORDER BY q.j) - 1
+            AS INT) AS "offset",
+       'text' AS kind, q.para AS text, '' AS media_ref
+FROM (
+  SELECT o.url, jj.j, o.secs[jj.j] AS para
+  FROM (SELECT url, string_split(ftext, chr(10) || chr(10)) AS secs
+        FROM okpdf) o
+  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) jj
+  WHERE jj.j <= len(o.secs) AND trim(o.secs[jj.j]) <> ''
+) q
+JOIN crawl c2 ON c2.url = q.url
+"""
+
+
+# Per-wave deterministic frontier/fetch counters (the timing columns of the
+# metrics table are excluded — wall-clock is not SQL-reproducible).
+# Semantics pinned to pipeline._write_metrics: selected = wave size,
+# new_urls = frontier_size = next wave's size, rejected_urls = candidates
+# routed to the admission shards (every link occurrence from OK listings,
+# including robots-blocked / depth-gated / already-seen) minus admitted,
+# docs_emitted = OK listings (even empty ones) + OK valid pdfs.
+CRAWL_WAVE_COUNTS_SQL = _compose(PRELUDE, WAVES, RESTEXT, ITEMS) + """
+, base AS (
+  SELECT c.depth AS wave, c.url, c.is_pdf, s.status,
+         CASE WHEN s.status = 200 AND (NOT c.is_pdf OR pl.valid)
+              THEN 1 ELSE 0 END AS emits
+  FROM crawl c
+  JOIN statuses s ON s.url = c.url
+  LEFT JOIN pdf_len pl ON pl.url = c.url
+),
+wstats AS (
+  SELECT wave,
+         count(*) AS selected,
+         sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS fetched_ok,
+         sum(CASE WHEN status <> 200 THEN 1 ELSE 0 END) AS fetch_errors,
+         sum(emits) AS docs_emitted
+  FROM base GROUP BY wave
+),
+cands AS (
+  SELECT b.wave, count(*) AS n_cand
+  FROM base b JOIN cand_links cl ON cl.src = b.url
+  WHERE NOT b.is_pdf AND b.status = 200
+  GROUP BY b.wave
+)
+SELECT CAST(w.wave AS INT) AS wave,
+       CAST(coalesce(nx.selected, 0) AS BIGINT) AS frontier_size,
+       CAST(w.selected AS BIGINT) AS selected,
+       CAST(w.fetched_ok AS BIGINT) AS fetched_ok,
+       CAST(w.fetch_errors AS BIGINT) AS fetch_errors,
+       CAST(coalesce(nx.selected, 0) AS BIGINT) AS new_urls,
+       CAST(coalesce(c.n_cand, 0) - coalesce(nx.selected, 0) AS BIGINT)
+         AS rejected_urls,
+       CAST(w.docs_emitted AS BIGINT) AS docs_emitted
+FROM wstats w
+LEFT JOIN wstats nx ON nx.wave = w.wave + 1
+LEFT JOIN cands c ON c.wave = w.wave
+ORDER BY wave
+"""
+
+
+# The deterministic 7-field extraction contract (extract.extract_one +
+# ResolutionExtractor: length gate, sentinel fill, link passthrough,
+# abreviacao from the first budget code) replayed over the regenerated
+# padded pdf text. The pad tail ('\\n%...') attaches to the final paragraph
+# exactly as the engine's split sees it.
+RESOLUTIONS_SQL = _compose(PRELUDE, WAVES, RESTEXT, PDFTEXT) + r"""
+, fields AS (
+  SELECT url, ftext,
+         string_split(ftext, chr(10) || chr(10)) AS p
+  FROM okpdf
+),
+ext AS (
+  SELECT url, ftext,
+    regexp_extract(ftext, '\b(\d{1,5}/20\d{2})\b', 1) AS numero,
+    regexp_extract(ftext,
+      '(?:[Aa]ltera|[Mm]odifica|[Rr]evoga|em substituição|[Cc]omplementa)[^0-9]{0,80}?(\d{1,5}/20\d{2})',
+      1) AS relacionada_raw,
+    coalesce(list_filter(p,
+      x -> NOT regexp_matches(x, '^\s*RESOLU', 'i'))[1], '') AS objeto_raw,
+    regexp_extract(ftext, '\b(\d{2}/\d{2}/\d{4})\b', 1) AS data_raw,
+    coalesce(list_filter(p,
+      x -> regexp_matches(x, 'prazo', 'i')
+           AND regexp_extract(x, '\b(\d{2}/\d{2}/\d{4})\b', 1) <> ''
+    )[1], '') AS prazo_para,
+    coalesce(list_filter(p,
+      x -> regexp_matches(x, 'vedad[ao]|proibid[ao]|não poderá ser utilizado', 'i')
+    )[1], '') AS vedado_raw,
+    regexp_extract(ftext,
+      'dota[çc][ãa]o or[çc]ament[áa]ria\s+([0-9][0-9.\-]*[0-9])', 1) AS dotacao_raw
+  FROM fields
+),
+sent AS (
+  SELECT url,
+    CASE WHEN trim(numero) = '' THEN 'NÃO INFORMADO' ELSE trim(numero) END AS numero_resolucao,
+    CASE WHEN trim(relacionada_raw) = '' THEN 'NÃO INFORMADO' ELSE trim(relacionada_raw) END AS relacionada,
+    CASE WHEN trim(objeto_raw) = '' THEN 'NÃO INFORMADO' ELSE trim(objeto_raw) END AS objeto,
+    CASE WHEN trim(data_raw) = '' THEN 'NÃO INFORMADO' ELSE trim(data_raw) END AS data_inicial,
+    CASE WHEN trim(regexp_extract(prazo_para, '\b(\d{2}/\d{2}/\d{4})\b', 1)) = ''
+         THEN 'NÃO INFORMADO'
+         ELSE trim(regexp_extract(prazo_para, '\b(\d{2}/\d{2}/\d{4})\b', 1)) END AS prazo_execucao,
+    CASE WHEN trim(vedado_raw) = '' THEN 'NÃO INFORMADO' ELSE trim(vedado_raw) END AS vedado_utilizacao,
+    CASE WHEN trim(dotacao_raw) = '' THEN 'NÃO INFORMADO' ELSE trim(dotacao_raw) END AS dotacao_orcamentaria,
+    dotacao_raw
+  FROM ext
+)
+SELECT url AS doc_id,
+       numero_resolucao, relacionada, objeto, data_inicial, prazo_execucao,
+       vedado_utilizacao, dotacao_orcamentaria,
+       url AS link,
+       CASE regexp_extract(dotacao_raw, '\b(301|302|303|304|305|306|122|242)\b', 1)
+            WHEN '301' THEN 'Atenção Primária'
+            WHEN '302' THEN 'MAC'
+            WHEN '303' THEN 'Assistência Farmacêutica'
+            WHEN '304' THEN 'Vigilância Sanitária'
+            WHEN '305' THEN 'Vigilância Epidemiológica'
+            WHEN '306' THEN 'Alimentação e Nutrição'
+            WHEN '122' THEN 'ADM'
+            WHEN '242' THEN 'Assist. ao Portador de Deficiência'
+            ELSE 'NÃO CLASSIFICADO' END AS abreviacao,
+       TRUE AS ok
+FROM sent
 """

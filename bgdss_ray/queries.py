@@ -1755,6 +1755,54 @@ def crawl_log_q(sf_dir: str):
     return P.crawl_log_pipeline(sf_dir)
 
 
+def crawl_doc_spans_q(sf_dir: str):
+    """Every span of every crawl-emitted document, exploded to scalar rows
+    (doc_id, offset, kind, text, media_ref) — full value-level parity of the
+    interleaved span payload against the DuckDB web regeneration (listing
+    items in DOM order + padded pdf paragraph splits)."""
+    from . import pipelines as P
+
+    t = P.crawl_documents_pipeline(sf_dir)  # pyarrow Table
+    spans = t.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans)
+    return pa.table(
+        {
+            "doc_id": pc.take(t.column("doc_id"), parent),
+            "offset": pc.struct_field(flat, "offset"),
+            "kind": pc.struct_field(flat, "kind"),
+            "text": pc.struct_field(flat, "text"),
+            "media_ref": pc.struct_field(flat, "media_ref"),
+        }
+    )
+
+
+def crawl_wave_counts_q(sf_dir: str):
+    """The deterministic columns of the per-wave metrics table (wall-clock
+    rate columns excluded); DuckDB replays the BFS admission arithmetic."""
+    from . import pipelines as P
+
+    t = P.crawl_metrics_pipeline(sf_dir)
+    return t.select(
+        [
+            "wave", "frontier_size", "selected", "fetched_ok",
+            "fetch_errors", "new_urls", "rejected_urls", "docs_emitted",
+        ]
+    )
+
+
+def resolutions_q(sf_dir: str):
+    """Crawl pdf documents → the deterministic 7-field resolutions table;
+    the whole extraction contract (length gate, regex fields, sentinel
+    fill, budget-code category) recomputed by DuckDB over the regenerated
+    padded pdf text."""
+    from . import pipelines as P
+
+    return P.resolutions_pipeline(sf_dir)
+
+
 SQL_PAIRED = {
     "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
     "run_summary": (run_summary, RUN_SUMMARY_SQL),
@@ -1797,4 +1845,7 @@ SQL_PAIRED = {
     "ann_lsh": (ann_lsh_q, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf_q, ANN_IVF_SQL),
     "crawl_log": (crawl_log_q, _crawl_oracle.CRAWL_LOG_SQL),
+    "crawl_doc_spans": (crawl_doc_spans_q, _crawl_oracle.CRAWL_DOC_SPANS_SQL),
+    "crawl_wave_counts": (crawl_wave_counts_q, _crawl_oracle.CRAWL_WAVE_COUNTS_SQL),
+    "resolutions_table": (resolutions_q, _crawl_oracle.RESOLUTIONS_SQL),
 }
