@@ -37,9 +37,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # as crawl_doc_spans / crawl_wave_counts in SQL_PAIRED
             "crawl_documents": P.crawl_documents_pipeline,
             "crawl_metrics": P.crawl_metrics_pipeline,
-            # remaining non-SQL entry (deterministic vs the driver-table
-            # mode in tests; everything else moved into SQL_PAIRED in r3)
-            "crawl_priority_log": P.crawl_priority_pipeline,
         }
     )
     return q

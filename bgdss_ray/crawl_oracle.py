@@ -411,7 +411,7 @@ def _compose(*sections: str) -> str:
     return "WITH RECURSIVE " + ",\n".join(s.strip() for s in sections) + "\n"
 
 
-CRAWL_LOG_SQL = _compose(PRELUDE, WAVES, RESTEXT, ITEMS, VTIME) + """
+_LOG_SELECT = """
 SELECT c.url,
        md5_number_upper(c.url) AS url_hash,
        c.host, c.depth, s.status, s.attempts,
@@ -428,6 +428,8 @@ LEFT JOIN listing_len ll ON ll.url = c.url
 LEFT JOIN pdf_len pl ON pl.url = c.url
 ORDER BY crawl_seq
 """
+
+CRAWL_LOG_SQL = _compose(PRELUDE, WAVES, RESTEXT, ITEMS, VTIME) + _LOG_SELECT
 
 
 # Every span of every document the crawl emits, bit-exact: listing spans
@@ -507,6 +509,105 @@ ORDER BY wave
 """
 
 
+def _priority_waves(n_waves: int, wave_cap: int, per_host_cap: int) -> str:
+    """Unrolled priority-frontier wave CTEs (pipeline.crawl_priority /
+    priority.select_wave semantics) for the fixed driver web:
+
+    - backlog rows carry okey (seeds: -2^32 + seed seq; links: parent
+      crawl_seq * 2^32 + link pos, min per url — first-occurrence-wins
+      dedup keeps the min-okey occurrence's DEPTH via arg_min) and
+      priority = year*12 + month - depth (priority.priority_scores);
+    - per-wave selection = greedy over (priority DESC, okey ASC) with a
+      per-host cap and a global wave cap, which is exactly "per-host
+      row_number <= cap, then global row_number <= wave_cap" over that
+      order (skipped rows don't consume cap slots);
+    - crawl_seq = waves' cumulative FIFO rank in selection order;
+    - unselected rows REMAIN in the backlog; the seen set is everything
+      ever admitted to the backlog (depth-gated / robots-blocked candidates
+      are NOT marked seen and may be re-discovered at an admissible depth
+      later — to_backlog gates before the seen check-and-add).
+
+    The wave count is a deterministic property of the driver web; the
+    builder asserts exhaustion via the pb{n} = empty check in tests.
+    """
+    out = []
+    out.append(f"""
+pb0 AS MATERIALIZED (  -- seed backlog: page-1 listings, depth 0, okey = -2^32 + seq
+  SELECT pg.url, FALSE AS is_pdf, pg.host, pg.y, pg.m,
+         CAST(NULL AS BIGINT) AS k, pg.p, 0 AS depth,
+         -4294967296 + (row_number() OVER (ORDER BY hy2.i, hy2.y, hy2.m) - 1)
+           AS okey,
+         CAST(pg.y * 12 + pg.m AS DOUBLE) AS prio
+  FROM hym hy2
+  JOIN pages pg ON pg.host = hy2.host AND pg.y = hy2.y AND pg.m = hy2.m
+              AND pg.p = 1
+  WHERE hy2.i < 2 OR hy2.u_seedsel >= 0.55
+)""")
+    seen_union = "SELECT url FROM pb0"
+    cum = None
+    for w in range(n_waves):
+        seq_expr = "r - 1" if cum is None else f"{cum} + r - 1"
+        out.append(f"""
+ps{w} AS MATERIALIZED (  -- wave {w} selection under per-host + wave caps
+  SELECT url, is_pdf, host, y, m, k, p, depth, okey, prio,
+         CAST({seq_expr} AS BIGINT) AS seq
+  FROM (
+    SELECT *, row_number() OVER (ORDER BY prio DESC, okey) AS r
+    FROM (
+      SELECT *, row_number()
+               OVER (PARTITION BY host ORDER BY prio DESC, okey) AS hr
+      FROM pb{w}
+    ) WHERE hr <= {per_host_cap}
+  ) WHERE r <= {wave_cap}
+)""")
+        cum = (f"(SELECT count(*) FROM ps{w})" if cum is None
+               else f"({cum} + (SELECT count(*) FROM ps{w}))")
+        if w == n_waves - 1:
+            break
+        out.append(f"""
+pc{w} AS MATERIALIZED (  -- wave-{w} candidates: min-okey occurrence wins (incl. depth)
+  SELECT cl.dst,
+         min(wv.seq * 4294967296 + cl.pos) AS okey,
+         arg_min(wv.depth, wv.seq * 4294967296 + cl.pos) + 1 AS depth,
+         any_value(cl.is_pdf) AS is_pdf, any_value(cl.lhost) AS host,
+         any_value(cl.ly) AS y, any_value(cl.lm) AS m,
+         any_value(cl.lk) AS k, any_value(cl.lp) AS p,
+         any_value(cl.blocked) AS blocked
+  FROM ps{w} wv
+  JOIN statuses s ON s.url = wv.url AND s.status = 200
+  JOIN cand_links cl ON cl.src = wv.url
+  WHERE NOT wv.is_pdf
+  GROUP BY cl.dst
+),
+pn{w} AS MATERIALIZED (  -- admitted to the backlog (depth/robots gates, then seen)
+  SELECT dst AS url, is_pdf, host, y, m, k, p, depth, okey,
+         CAST(y * 12 + m - depth AS DOUBLE) AS prio
+  FROM pc{w}
+  WHERE depth <= 3 AND NOT blocked
+    AND dst NOT IN ({seen_union})
+),
+pb{w + 1} AS MATERIALIZED (  -- carry-over (cap-deferred) rows precede nothing: order
+                -- is re-derived from (prio, okey) every wave
+  SELECT * FROM pb{w} WHERE okey NOT IN (SELECT okey FROM ps{w})
+  UNION ALL
+  SELECT * FROM pn{w}
+)""")
+        seen_union += f" UNION ALL SELECT url FROM pn{w}"
+    out.append(f"""
+crawl AS MATERIALIZED (
+  SELECT url, is_pdf, host, y, m, k, p, seq, depth
+  FROM ({" UNION ALL ".join(f"SELECT * FROM ps{w}" for w in range(n_waves))})
+)""")
+    return ",\n".join(s.strip() for s in out)
+
+
+# PRIORITY_LOG_SQL (assigned at module end, after _compose): the priority-
+# frontier crawl log for the driver workload (wave_cap=200, per_host_cap=25,
+# 4 waves to frontier exhaustion), all 10 columns — host-capped recency-
+# scored selection replayed wave by wave, then the same content-length and
+# politeness machinery as the BFS oracle.
+
+
 # The deterministic 7-field extraction contract (extract.extract_one +
 # ResolutionExtractor: length gate, sentinel fill, link passthrough,
 # abreviacao from the first budget code) replayed over the regenerated
@@ -569,3 +670,9 @@ SELECT url AS doc_id,
        TRUE AS ok
 FROM sent
 """
+
+
+PRIORITY_LOG_SQL = _compose(
+    PRELUDE, _priority_waves(n_waves=4, wave_cap=200, per_host_cap=25),
+    RESTEXT, ITEMS, VTIME,
+) + _LOG_SELECT

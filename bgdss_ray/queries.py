@@ -1793,6 +1793,16 @@ def crawl_wave_counts_q(sf_dir: str):
     )
 
 
+def crawl_priority_log_q(sf_dir: str):
+    """Priority-frontier crawl log (north-star mode): host-capped
+    recency-scored wave selection replayed in DuckDB (unrolled wave CTEs
+    with arg_min first-occurrence depth carry and the admitted-only seen
+    set), politeness clock and content lengths as in the BFS oracle."""
+    from . import pipelines as P
+
+    return P.crawl_priority_pipeline(sf_dir)
+
+
 def resolutions_q(sf_dir: str):
     """Crawl pdf documents → the deterministic 7-field resolutions table;
     the whole extraction contract (length gate, regex fields, sentinel
@@ -1848,4 +1858,5 @@ SQL_PAIRED = {
     "crawl_doc_spans": (crawl_doc_spans_q, _crawl_oracle.CRAWL_DOC_SPANS_SQL),
     "crawl_wave_counts": (crawl_wave_counts_q, _crawl_oracle.CRAWL_WAVE_COUNTS_SQL),
     "resolutions_table": (resolutions_q, _crawl_oracle.RESOLUTIONS_SQL),
+    "crawl_priority_log": (crawl_priority_log_q, _crawl_oracle.PRIORITY_LOG_SQL),
 }
