@@ -1,0 +1,221 @@
+"""Corpus-curation stages: benchmark decontamination and repetition-based
+quality filtering (Gopher-style, Rae et al. 2021, arXiv:2112.11446 §A1.1).
+
+Both are streaming map_batches passes over (doc_id, text):
+
+- :func:`benchmark_ngram_set` / :class:`Decontaminator` — the standard
+  eval-set decontamination pattern: the benchmark side's word n-grams are
+  hashed once into a SMALL broadcast set (``ray.put`` once, read per
+  actor), and every training document counts its n-gram positions that hit
+  the set. The benchmark set is the small side by construction (eval sets
+  are tiny next to a 100 TB corpus), so this is a broadcast membership
+  test, never a shuffle.
+- :class:`RepetitionFilter` — per-document repetition statistics computed
+  fully vectorized (one exploded (doc, token-bigram) frame per batch, no
+  per-document python loop): duplicate-line fraction, most-frequent-bigram
+  fraction, symbol-character ratio, and the keep flag under documented
+  thresholds.
+
+Determinism contract (SQL pairing): tokens = ``\\s+`` split of
+``text.strip()``; n-grams joined with a single space; hashes =
+``urlnorm.hash64_one`` == DuckDB ``md5_number_upper``; fractions are
+single IEEE double divisions of exact integers on both sides.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..urlnorm import url_hash64
+
+_WS = re.compile(r"\s+")
+# ASCII-explicit symbol class so python re and DuckDB RE2 agree on every
+# codepoint (\\w would diverge on unicode categories)
+_SYMBOL = re.compile(r"[^A-Za-z0-9\s]")
+
+# Gopher-inspired keep thresholds (arXiv:2112.11446 table A1; values
+# adapted to the synthetic corpus so both branches are exercised)
+DUP_LINE_FRAC_MAX = 0.30
+TOP_BIGRAM_FRAC_MAX = 0.18
+SYMBOL_RATIO_MAX = 0.10
+
+
+def _token_frame(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, token) exploded arrays for a batch — one vectorized
+    split, no per-doc loop."""
+    tok_lists = texts.fillna("").str.strip().str.split(_WS)
+    tok_lists = tok_lists.apply(lambda L: [] if L == [""] else L)
+    counts = tok_lists.str.len().to_numpy()
+    doc_idx = np.repeat(np.arange(len(texts)), counts)
+    flat = np.asarray(
+        [t for L in tok_lists for t in L], dtype=object
+    )
+    return doc_idx, flat
+
+
+def _ngram_strings(doc_idx: np.ndarray, flat: np.ndarray, n: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, ngram-string) for every n-token window that stays inside
+    one document — built from shifted views of the flat token array."""
+    if len(flat) < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+    valid = doc_idx[: len(doc_idx) - n + 1] == doc_idx[n - 1:]
+    if not valid.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+    starts = np.flatnonzero(valid)
+    grams = pd.Series(flat[starts])
+    for o in range(1, n):
+        grams = grams + " " + pd.Series(flat[starts + o])
+    return doc_idx[starts], grams.to_numpy()
+
+
+def benchmark_ngram_set(ds, n: int = 8, id_mod: int = 37):
+    """Hash set of every ``n``-gram of the benchmark slice (docs whose
+    int id % ``id_mod`` == 0) — the SMALL side, collected once and
+    broadcast. Returns (object_ref, n_benchmark_grams)."""
+    def grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pandas()
+        mask = (ids.astype("int64") % id_mod) == 0
+        texts = t.column("text").to_pandas()[mask.to_numpy()]
+        if not len(texts):
+            return pa.table({"h": pa.array([], type=pa.uint64())})
+        di, flat = _token_frame(texts.reset_index(drop=True))
+        _, g = _ngram_strings(di, flat, n)
+        hs = url_hash64(list(g)) if len(g) else np.empty(0, dtype=np.uint64)
+        return pa.table({"h": pa.array(np.unique(hs), type=pa.uint64())})
+
+    rows = ds.map_batches(grams, batch_format="pyarrow").take_all()
+    hset = np.unique(np.asarray([r["h"] for r in rows], dtype=np.uint64))
+    return ray.put(hset), int(len(hset))
+
+
+class Decontaminator:
+    """map_batches stage: count benchmark n-gram hits per document.
+
+    ``hset_ref`` is the broadcast sorted hash array (``ray.put`` once; Ray
+    caches the object per node, so it ships once per worker, not per
+    batch). Output: (doc_id, n_grams, n_matched, contaminated).
+    """
+
+    def __init__(self, hset_ref, n: int = 8):
+        self.hset = np.sort(ray.get(hset_ref))
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        texts = t.column("text").to_pandas()
+        di, flat = _token_frame(texts)
+        gi, grams = _ngram_strings(di, flat, self.n)
+        n_grams = np.zeros(t.num_rows, dtype=np.int64)
+        n_matched = np.zeros(t.num_rows, dtype=np.int64)
+        if len(grams):
+            np.add.at(n_grams, gi, 1)
+            hs = url_hash64(list(grams))
+            pos = np.searchsorted(self.hset, hs)
+            pos[pos == len(self.hset)] = 0
+            hit = (self.hset[pos] == hs) if len(self.hset) else np.zeros(
+                len(hs), dtype=bool)
+            np.add.at(n_matched, gi[hit], 1)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_grams": pa.array(n_grams),
+                "n_matched": pa.array(n_matched),
+                "contaminated": pa.array(n_matched > 0),
+            }
+        )
+
+
+def decontaminate(ds, n: int = 8, id_mod: int = 37):
+    """documents Dataset → per-doc contamination table. The benchmark-gram
+    build and the scan are two streaming passes; only the gram-hash set
+    (small by construction) ever sits on the driver."""
+    ref, _ = benchmark_ngram_set(ds, n=n, id_mod=id_mod)
+    return ds.map_batches(
+        Decontaminator, fn_constructor_args=(ref, n),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+
+def plant_repetition(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic gate-exercising augmentation (same pattern as the
+    planted near-dup clones): the synthetic corpus is single-line,
+    symbol-free prose, so every repetition stat would be degenerate-zero
+    and the keep flag vacuous. Three deterministic id classes plant one
+    failure mode each — line duplication (id%11), symbol runs (id%7),
+    bigram loops (id%5) — all reconstructible in SQL string-for-string."""
+    df = df.copy()
+    ids = df["doc_id"].astype("int64")
+    t = df["text"].fillna("")
+    m11 = (ids % 11 == 0).to_numpy()
+    m7 = (~m11) & (ids % 7 == 0).to_numpy()
+    m5 = (~m11) & ~m7 & (ids % 5 == 0).to_numpy()
+    out = t.copy()
+    out[m11] = t[m11] + "\n" + t[m11] + "\n" + t[m11]
+    out[m7] = t[m7] + " " + t[m7].str.len().floordiv(4).map(lambda k: "@" * k)
+    if m5.any():
+        toks = t[m5].str.strip().str.split(_WS)
+        pair = toks.map(
+            lambda L: (" " + L[0] + " " + L[1]) * 80 if len(L) >= 2 else ""
+        )
+        out[m5] = t[m5] + pair
+    df["text"] = out
+    return df
+
+
+class RepetitionFilter:
+    """map_batches stage: Gopher-style repetition/quality flags per doc.
+
+    Output columns: doc_id, n_lines, dup_line_frac, top_bigram_frac,
+    symbol_ratio, keep. All fractions are double divisions of exact
+    integer counts (SQL-pairable bit-for-bit).
+    """
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        # duplicate-line fraction: 1 - distinct/total over newline splits
+        lines = texts.str.split("\n")
+        n_lines = lines.str.len().to_numpy(dtype=np.int64)
+        n_distinct = lines.apply(lambda L: len(set(L))).to_numpy(np.int64)
+        dup_frac = np.where(n_lines > 0, 1.0 - n_distinct / n_lines, 0.0)
+
+        # top-bigram fraction: most frequent token bigram / bigram count,
+        # one exploded frame per batch (no per-doc loop)
+        di, flat = _token_frame(texts.reset_index(drop=True))
+        gi, grams = _ngram_strings(di, flat, 2)
+        n_bi = np.zeros(len(df), dtype=np.int64)
+        top_bi = np.zeros(len(df), dtype=np.int64)
+        if len(grams):
+            np.add.at(n_bi, gi, 1)
+            bf = pd.DataFrame({"d": gi, "g": grams})
+            per = bf.groupby(["d", "g"], sort=False).size()
+            mx = per.groupby(level=0).max()
+            top_bi[mx.index.to_numpy()] = mx.to_numpy()
+        top_frac = np.where(n_bi > 0, top_bi / np.maximum(n_bi, 1), 0.0)
+
+        # symbol ratio over characters (ASCII-explicit class, see _SYMBOL)
+        n_chars = texts.str.len().to_numpy(dtype=np.int64)
+        n_sym = texts.str.count(_SYMBOL).to_numpy(dtype=np.int64)
+        sym_ratio = np.where(n_chars > 0, n_sym / np.maximum(n_chars, 1), 0.0)
+
+        keep = (
+            (dup_frac <= DUP_LINE_FRAC_MAX)
+            & (top_frac <= TOP_BIGRAM_FRAC_MAX)
+            & (sym_ratio <= SYMBOL_RATIO_MAX)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_lines": n_lines,
+                "dup_line_frac": dup_frac,
+                "top_bigram_frac": top_frac,
+                "symbol_ratio": sym_ratio,
+                "keep": keep,
+            }
+        )

@@ -1793,6 +1793,251 @@ def crawl_wave_counts_q(sf_dir: str):
     )
 
 
+def decontaminate_q(sf_dir: str):
+    """Eval-set decontamination: the benchmark slice's word 8-grams are
+    hashed into a broadcast set (md5-64 == DuckDB md5_number_upper) and
+    every document counts its 8-gram positions hitting the set — the
+    standard small-side-broadcast membership test, no shuffle."""
+    from .ops.curation import decontaminate
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(ds, n=8, id_mod=37)
+
+
+DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         md5_number_upper(array_to_string(w[i : i + 7], ' ')) AS h
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+    FROM toks WHERE len(w) >= 8
+  )
+),
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+  FROM grams g LEFT JOIN bench b ON b.h = g.h
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_matched, 0) AS BIGINT) AS n_matched,
+       coalesce(h.n_matched, 0) > 0 AS contaminated
+FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id
+"""
+
+
+def repetition_flags_q(sf_dir: str):
+    """Gopher-style repetition/quality flags per document (duplicate-line
+    fraction, most-frequent-bigram fraction, ASCII symbol ratio, keep) —
+    fully vectorized batch pass; fractions are single double divisions of
+    integer counts so DuckDB reproduces them bit-exactly. Deterministic
+    repetition is planted first (``plant_repetition``) so every stat and
+    both keep branches are exercised (the raw corpus is single-line
+    symbol-free prose)."""
+    from .ops.curation import RepetitionFilter, plant_repetition
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(plant_repetition, batch_format="pandas").map_batches(
+        RepetitionFilter(), batch_format="pandas"
+    )
+
+
+REPETITION_FLAGS_SQL = r"""
+WITH aug AS (  -- plant_repetition, string-for-string
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 11 = 0 THEN t || chr(10) || t || chr(10) || t
+           WHEN doc_id % 7 = 0 THEN t || ' ' || repeat('@', length(t) // 4)
+           WHEN doc_id % 5 = 0 AND len(w0) >= 2
+             THEN t || repeat(' ' || w0[1] || ' ' || w0[2], 80)
+           ELSE t
+         END AS text
+  FROM (
+    SELECT doc_id, coalesce(text, '') AS t,
+           regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w0
+    FROM documents
+  )
+),
+base AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         regexp_split_to_array(trim(text), '\s+') AS w
+  FROM aug
+),
+ln AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                         / CAST(len(lines) AS DOUBLE)
+              ELSE 0.0 END AS dup_line_frac,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+           AS n_sym
+  FROM base
+),
+bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+    FROM base WHERE len(w) >= 2 AND w[1] <> ''
+  )
+),
+bstats AS (
+  SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi
+  FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(l.n_lines AS BIGINT) AS n_lines,
+       l.dup_line_frac,
+       CASE WHEN coalesce(b.n_bi, 0) > 0
+            THEN CAST(b.top_bi AS DOUBLE) / CAST(b.n_bi AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN l.n_chars > 0
+            THEN CAST(l.n_sym AS DOUBLE) / CAST(l.n_chars AS DOUBLE)
+            ELSE 0.0 END AS symbol_ratio,
+       (l.dup_line_frac <= 0.30
+        AND (CASE WHEN coalesce(b.n_bi, 0) > 0
+                  THEN CAST(b.top_bi AS DOUBLE) / CAST(b.n_bi AS DOUBLE)
+                  ELSE 0.0 END) <= 0.18
+        AND (CASE WHEN l.n_chars > 0
+                  THEN CAST(l.n_sym AS DOUBLE) / CAST(l.n_chars AS DOUBLE)
+                  ELSE 0.0 END) <= 0.10) AS keep
+FROM ln l LEFT JOIN bstats b ON b.doc_id = l.doc_id
+"""
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the k=20 events with the smallest
+    md5-64(event_id) per event_type. Per-batch per-group partial top-k
+    (combiner) bounds the shuffle at O(blocks x groups x k); the final
+    per-group heads run in map_groups."""
+    from .urlnorm import url_hash64
+
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+    K = 20
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = url_hash64(df["event_id"].astype(str).tolist())
+        df = df.sort_values(["h", "event_id"])
+        return df.groupby("event_type", sort=False).head(K)
+
+    def heads(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "event_id"]).head(K)
+        return g[["event_type", "event_id", "value"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(heads, batch_format="pandas")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = r"""
+SELECT event_type, event_id, value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)), event_id
+         ) AS r
+  FROM events
+) WHERE r <= 20
+"""
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 terms by tf-idf over the whole corpus.
+
+    Three genuinely distributed stages: (1) one streaming pass builds the
+    (doc, term, tf) frame (pandas explode + group per batch, no per-doc
+    python); (2) document frequencies come from a groupby(term) Count —
+    the vocabulary table stays a Dataset and joins back onto the term
+    frame with a hash-partitioned ``Dataset.join`` (the vocabulary of a
+    100 TB corpus is NOT a broadcastable small side); (3) per-doc top-3 in
+    ``groupby(doc_id).map_groups``. Score = tf * ln(N/df) with both sides
+    computing the same double expression (the score itself stays internal —
+    libm log differs from DuckDB ln by 1 ulp on some inputs; the resulting
+    RANK is exact on both sides); ties break by term."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet-metadata count, no scan
+
+    def term_freqs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.split(r"\s+", regex=True)
+        toks = toks.apply(lambda L: [] if L == [""] else L)
+        flat = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(),
+                                    toks.str.len().to_numpy()),
+                "term": [t for L in toks for t in L],
+            }
+        )
+        out = flat.groupby(["doc_id", "term"], sort=False).size()
+        return out.rename("tf").reset_index()
+
+    tf = ds.map_batches(term_freqs, batch_format="pandas")
+    dfreq = tf.groupby("term").count()  # (term, count()) — docs per term
+
+    def rename_df(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["term", "df"])
+
+    joined = tf.join(
+        dfreq.map_batches(rename_df, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("term",),
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["tf"].to_numpy(dtype=np.float64) * np.log(
+            float(n_docs) / g["df"].to_numpy(dtype=np.float64)
+        )
+        g = g.sort_values(["score", "term"], ascending=[False, True]).head(3)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        # score stays internal: numpy log and DuckDB ln differ by 1 ulp on
+        # some inputs; the RANK (ordering) is identical and exact
+        return g[["doc_id", "term", "tf", "df", "rank"]]
+
+    return joined.groupby("doc_id").map_groups(top3, batch_format="pandas")
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) *
+           ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+              / CAST(d.df AS DOUBLE)) AS score
+  FROM tf t JOIN dfreq d ON d.term = t.term
+)
+SELECT doc_id, term, tf, df, CAST(r AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS r
+  FROM scored
+) WHERE r <= 3
+"""
+
+
 def crawl_priority_log_q(sf_dir: str):
     """Priority-frontier crawl log (north-star mode): host-capped
     recency-scored wave selection replayed in DuckDB (unrolled wave CTEs
@@ -1859,4 +2104,8 @@ SQL_PAIRED = {
     "crawl_wave_counts": (crawl_wave_counts_q, _crawl_oracle.CRAWL_WAVE_COUNTS_SQL),
     "resolutions_table": (resolutions_q, _crawl_oracle.RESOLUTIONS_SQL),
     "crawl_priority_log": (crawl_priority_log_q, _crawl_oracle.PRIORITY_LOG_SQL),
+    "decontaminate": (decontaminate_q, DECONTAMINATE_SQL),
+    "repetition_flags": (repetition_flags_q, REPETITION_FLAGS_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
 }
