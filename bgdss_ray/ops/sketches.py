@@ -150,3 +150,71 @@ def hll_distinct_report(sf_dir: str, specs: list[tuple[str, str]],
             }
         )
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k quantile sketch
+# ---------------------------------------------------------------------------
+class KmvQuantileSketch:
+    """Mergeable bottom-k (KMV) quantile sketch: keep the k rows with the
+    smallest uniform row hashes; any quantile is then the exact quantile of
+    that deterministic uniform sample (Bar-Yossef et al. 2002 KMV
+    construction, applied to quantiles instead of distinct counts).
+
+    Mergeable: merge(a, b) = bottom-k of the union — associative and
+    commutative, so per-batch partials combine in any tree to the same
+    sketch (same guarantee shape as the HLL registers above). Per-partial
+    payload is k (hash, value) pairs; nothing else leaves a worker.
+
+    Deterministic end to end: the row hash is md5-64 of the row key
+    (DuckDB ``md5_number_upper``), ties break by (hash, value), and the
+    quantile pick is the lower-index selection floor(p * (n_sample - 1)) —
+    every step reproducible bit-for-bit in SQL.
+    """
+
+    def __init__(self, k: int = 2048):
+        self.k = k
+        self.h = np.empty(0, dtype=np.uint64)
+        self.v = np.empty(0, dtype=np.int64)
+
+    def add(self, h: np.ndarray, v: np.ndarray) -> "KmvQuantileSketch":
+        h = np.concatenate([self.h, np.asarray(h, dtype=np.uint64)])
+        v = np.concatenate([self.v, np.asarray(v, dtype=np.int64)])
+        order = np.lexsort((v, h))[: self.k]
+        self.h, self.v = h[order], v[order]
+        return self
+
+    def merge(self, other: "KmvQuantileSketch") -> "KmvQuantileSketch":
+        return self.add(other.h, other.v)
+
+    def quantile(self, p: float) -> int:
+        if not len(self.v):
+            raise ValueError("empty sketch")
+        s = np.sort(self.v)
+        return int(s[int(np.floor(p * (len(s) - 1)))])
+
+
+def kmv_quantiles(ds, key_fn, cents_fn, ps, k: int = 2048):
+    """Dataset → [(p, est_cents)] via per-batch bottom-k partials.
+
+    ``key_fn(table) -> list[str]`` builds the unique row key (hash input),
+    ``cents_fn(table) -> int64 ndarray`` the exact integer value column.
+    Partials (k rows each) are the only data leaving workers; the driver
+    merge is O(blocks * k), the sketch-combine pattern (cf. HLL)."""
+    from ..urlnorm import url_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = url_hash64(key_fn(t))
+        v = cents_fn(t)
+        order = np.lexsort((v, h))[:k]
+        return pa.table({"h": pa.array(h[order], type=pa.uint64()),
+                         "v": pa.array(v[order], type=pa.int64())})
+
+    sk = KmvQuantileSketch(k)
+    stream = ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    )
+    for t in stream:
+        sk.add(t.column("h").to_numpy(zero_copy_only=False),
+               t.column("v").to_numpy(zero_copy_only=False))
+    return [(p, sk.quantile(p)) for p in ps]

@@ -2038,6 +2038,58 @@ FROM (
 """
 
 
+def kmv_quantiles_q(sf_dir: str):
+    """Approximate quantiles of l_extendedprice (exact integer cents) via
+    the mergeable KMV bottom-k sketch — per-batch bottom-k partials are the
+    only worker egress; the sample, and therefore every estimate, is
+    bit-reproducible in DuckDB (md5 row hashes + the same lower-index
+    quantile pick). Accuracy vs the exact quantile is asserted in pytest
+    with the standard KMV sample bound."""
+    from .ops.sketches import kmv_quantiles
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def key_fn(t: pa.Table) -> list[str]:
+        ok = t.column("l_orderkey").to_pandas().astype(str)
+        ln = t.column("l_linenumber").to_pandas().astype(str)
+        return (ok + "|" + ln).tolist()
+
+    def cents_fn(t: pa.Table) -> np.ndarray:
+        return _cents(t.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False
+        )
+
+    out = kmv_quantiles(ds, key_fn, cents_fn,
+                        ps=(0.25, 0.5, 0.75, 0.9, 0.99), k=2048)
+    return pd.DataFrame({"p": [p for p, _ in out],
+                         "est_cents": [e for _, e in out]})
+
+
+KMV_QUANTILES_SQL = r"""
+WITH hashed AS (
+  SELECT md5_number_upper(CAST(l_orderkey AS VARCHAR) || '|' ||
+                          CAST(l_linenumber AS VARCHAR)) AS h,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem
+),
+samp AS (SELECT v FROM hashed ORDER BY h, v LIMIT 2048),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS r,
+         count(*) OVER () AS n
+  FROM samp
+)
+SELECT p, CAST(est_cents AS BIGINT) AS est_cents
+FROM (
+  SELECT ps.p,
+         (SELECT v FROM ranked
+          WHERE r = CAST(floor(ps.p * (ranked_n.n - 1)) AS BIGINT)) AS est_cents
+  FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p) ps
+  CROSS JOIN (SELECT max(n) AS n FROM ranked) ranked_n
+)
+"""
+
+
 def crawl_priority_log_q(sf_dir: str):
     """Priority-frontier crawl log (north-star mode): host-capped
     recency-scored wave selection replayed in DuckDB (unrolled wave CTEs
@@ -2108,4 +2160,5 @@ SQL_PAIRED = {
     "repetition_flags": (repetition_flags_q, REPETITION_FLAGS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
+    "kmv_quantiles": (kmv_quantiles_q, KMV_QUANTILES_SQL),
 }

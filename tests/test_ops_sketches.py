@@ -55,3 +55,35 @@ def test_hll_report_on_testdata(ray_session):
     assert len(rep) == 3
     assert (rep["rel_error"] < 0.06).all(), rep.to_dict("records")
     assert (rep["exact_distinct"] > 0).all()
+
+
+def test_kmv_merge_equality_and_determinism():
+    from bgdss_ray.ops.sketches import KmvQuantileSketch
+    from bgdss_ray.urlnorm import url_hash64
+
+    keys = [f"k{i}" for i in range(10_000)]
+    h = url_hash64(keys)
+    v = ((np.arange(10_000) * 37) % 100_000).astype(np.int64)
+    one = KmvQuantileSketch(k=512).add(h, v)
+    # any split + merge order gives the identical sketch
+    a = KmvQuantileSketch(k=512).add(h[:3000], v[:3000])
+    b = KmvQuantileSketch(k=512).add(h[3000:], v[3000:])
+    ab = a.merge(b)
+    assert np.array_equal(one.h, ab.h) and np.array_equal(one.v, ab.v)
+    b2 = KmvQuantileSketch(k=512).add(h[3000:], v[3000:])
+    ba = b2.add(h[:3000], v[:3000])
+    assert np.array_equal(one.h, ba.h)
+
+
+def test_kmv_quantile_accuracy(ray_session):
+    """Bottom-k is a uniform sample: quantile error ~ O(1/sqrt(k))."""
+    from bgdss_ray.queries import kmv_quantiles_q, _cents
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = kmv_quantiles_q(sf)
+    t = pq.read_table(f"{sf}/lineitem.parquet", columns=["l_extendedprice"])
+    ex = np.sort(_cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False))
+    for _, r in got.iterrows():
+        exact = ex[int(np.floor(r["p"] * (len(ex) - 1)))]
+        assert abs(r["est_cents"] - exact) / exact < 0.10, (r["p"], r["est_cents"], exact)
