@@ -169,6 +169,22 @@ def plant_repetition(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def plant_clones(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic exact-duplicate planting for the curation composite:
+    docs with id % 13 == 0 collapse onto one of three sentinel texts
+    (id % 3), so the exact-dedup leg has real duplicate groups to
+    canonicalize (the raw corpus has none). Row-local (no cross-row
+    lookup), so it stays a pure map; SQL rebuilds it string-for-string."""
+    df = df.copy()
+    ids = df["doc_id"].astype("int64")
+    m = (ids % 13 == 0).to_numpy()
+    if m.any():
+        t = df["text"].copy()
+        t[m] = "corpus clone sentinel " + (ids[m] % 3).astype(str)
+        df["text"] = t
+    return df
+
+
 class RepetitionFilter:
     """map_batches stage: Gopher-style repetition/quality flags per doc.
 

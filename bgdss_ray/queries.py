@@ -2038,6 +2038,178 @@ FROM (
 """
 
 
+def curate_corpus(sf_dir: str):
+    """End-to-end corpus curation: one augmented corpus (deterministic
+    clone + repetition planting so every leg has live work) flows through
+    three independent distributed legs — repetition flags, eval-set
+    decontamination (broadcast benchmark grams), and exact-dup
+    canonicalization (groupby(text-hash) Min + hash-partitioned join-back)
+    — joined on doc_id into the final keep decision.
+
+    keep = rep_keep AND NOT contaminated AND is_canonical. All three legs
+    and the composition are bit-exact in DuckDB."""
+    from ray.data.aggregate import Min
+
+    from .ops.curation import (
+        RepetitionFilter,
+        benchmark_ngram_set,
+        Decontaminator,
+        plant_clones,
+        plant_repetition,
+    )
+    from .urlnorm import url_hash64
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    aug = docs.map_batches(plant_clones, batch_format="pandas").map_batches(
+        plant_repetition, batch_format="pandas"
+    ).materialize()  # three legs read it; keep the blocks, not the lineage
+
+    rep = aug.map_batches(RepetitionFilter(), batch_format="pandas").map_batches(
+        lambda df: df[["doc_id", "keep"]].rename(columns={"keep": "rep_keep"}),
+        batch_format="pandas",
+    )
+
+    ref, _ = benchmark_ngram_set(aug, n=8, id_mod=37)
+    dec = aug.map_batches(
+        Decontaminator, fn_constructor_args=(ref, 8),
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).map_batches(
+        lambda df: df[["doc_id", "contaminated"]], batch_format="pandas"
+    )
+
+    def hash_text(df: pd.DataFrame) -> pd.DataFrame:
+        # int64 view: Ray's shuffle concat rejects uint64 above 2^63
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "th": url_hash64(df["text"].fillna("").tolist())
+                      .view(np.int64),
+            }
+        )
+
+    hashed = aug.map_batches(hash_text, batch_format="pandas")
+    minids = hashed.groupby("th").aggregate(Min("doc_id")).map_batches(
+        lambda t: t.rename_columns(["th", "min_id"]), batch_format="pyarrow"
+    )
+    canon = hashed.join(minids, join_type="inner", num_partitions=8,
+                        on=("th",)).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "is_canonical": df["doc_id"].to_numpy()
+                             == df["min_id"].to_numpy()}
+        ),
+        batch_format="pandas",
+    )
+
+    out = rep.join(dec, join_type="inner", num_partitions=8, on=("doc_id",))
+    out = out.join(canon, join_type="inner", num_partitions=8, on=("doc_id",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["keep"] = (
+            df["rep_keep"].to_numpy()
+            & ~df["contaminated"].to_numpy()
+            & df["is_canonical"].to_numpy()
+        )
+        return df[["doc_id", "rep_keep", "contaminated", "is_canonical", "keep"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+CURATE_CORPUS_SQL = r"""
+WITH aug AS (  -- plant_clones then plant_repetition, string-for-string
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 11 = 0 THEN t || chr(10) || t || chr(10) || t
+           WHEN doc_id % 7 = 0 THEN t || ' ' || repeat('@', length(t) // 4)
+           WHEN doc_id % 5 = 0 AND len(w0) >= 2
+             THEN t || repeat(' ' || w0[1] || ' ' || w0[2], 80)
+           ELSE t
+         END AS text
+  FROM (
+    SELECT doc_id, t, regexp_split_to_array(trim(t), '\s+') AS w0
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN 'corpus clone sentinel ' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE coalesce(text, '') END AS t
+      FROM documents
+    )
+  )
+),
+base AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         regexp_split_to_array(trim(text), '\s+') AS w
+  FROM aug
+),
+ln AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                         / CAST(len(lines) AS DOUBLE)
+              ELSE 0.0 END AS dup_line_frac,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+           AS n_sym
+  FROM base
+),
+bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+    FROM base WHERE len(w) >= 2 AND w[1] <> ''
+  )
+),
+bstats AS (
+  SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi
+  FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+rep AS (
+  SELECT l.doc_id,
+         (l.dup_line_frac <= 0.30
+          AND (CASE WHEN coalesce(b.n_bi, 0) > 0
+                    THEN CAST(b.top_bi AS DOUBLE) / CAST(b.n_bi AS DOUBLE)
+                    ELSE 0.0 END) <= 0.18
+          AND (CASE WHEN l.n_chars > 0
+                    THEN CAST(l.n_sym AS DOUBLE) / CAST(l.n_chars AS DOUBLE)
+                    ELSE 0.0 END) <= 0.10) AS rep_keep
+  FROM ln l LEFT JOIN bstats b ON b.doc_id = l.doc_id
+),
+grams AS (
+  SELECT doc_id,
+         md5_number_upper(array_to_string(w[i : i + 7], ' ')) AS h
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+    FROM base WHERE len(w) >= 8
+  )
+),
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 37 = 0),
+dec AS (
+  SELECT a.doc_id,
+         coalesce(hits.n_matched, 0) > 0 AS contaminated
+  FROM aug a
+  LEFT JOIN (
+    SELECT g.doc_id,
+           sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+    FROM grams g LEFT JOIN bench b ON b.h = g.h
+    GROUP BY g.doc_id
+  ) hits ON hits.doc_id = a.doc_id
+),
+canon AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+  FROM aug
+)
+SELECT r.doc_id, r.rep_keep, d.contaminated, c.is_canonical,
+       (r.rep_keep AND NOT d.contaminated AND c.is_canonical) AS keep
+FROM rep r
+JOIN dec d ON d.doc_id = r.doc_id
+JOIN canon c ON c.doc_id = r.doc_id
+"""
+
+
 def kmv_quantiles_q(sf_dir: str):
     """Approximate quantiles of l_extendedprice (exact integer cents) via
     the mergeable KMV bottom-k sketch — per-batch bottom-k partials are the
@@ -2161,4 +2333,5 @@ SQL_PAIRED = {
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "kmv_quantiles": (kmv_quantiles_q, KMV_QUANTILES_SQL),
+    "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),
 }

@@ -156,3 +156,21 @@ def test_tfidf_top_terms_semantics(ray_session):
         best = min(sorted(scores), key=lambda t: (-scores[t], t))
         eng = got[(got.doc_id == d) & (got["rank"] == 1)]["term"].iloc[0]
         assert eng == best, (d, eng, best)
+
+
+def test_curate_corpus_composite(ray_session):
+    """keep == rep_keep AND NOT contaminated AND is_canonical, with every
+    leg live (planted repetition, benchmark overlap, planted clones)."""
+    from bgdss_ray.queries import curate_corpus
+
+    got = curate_corpus("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 500 and got.doc_id.is_unique
+    legs = got.rep_keep & ~got.contaminated & got.is_canonical
+    assert (got.keep == legs).all()
+    assert (~got.rep_keep).sum() > 0
+    assert got.contaminated.sum() > 0
+    assert (~got.is_canonical).sum() > 0
+    # clone groups: the min id of each planted group is canonical
+    clones = got[got.doc_id % 13 == 0]
+    assert clones.is_canonical.sum() >= 1
+    assert (~clones.is_canonical).sum() >= 1
