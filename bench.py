@@ -94,6 +94,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("dedup_minhash", P.dedup_minhash_pipeline),
         ("lang_quality", P.lang_quality_pipeline),
         ("fingerprints", P.fingerprint_pipeline),
+        ("curate_corpus", SQL_PAIRED["curate_corpus"][0]),
+        ("tfidf_top_terms", SQL_PAIRED["tfidf_top_terms"][0]),
     ]
     times: dict[str, float] = {}
     for name, fn in suite:

@@ -95,6 +95,25 @@ def benchmark_ngram_set(ds, n: int = 8, id_mod: int = 37):
     return ray.put(hset), int(len(hset))
 
 
+def contamination_counts(texts: pd.Series, hset_sorted: np.ndarray, n: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """(n_grams, n_matched) per row — the decontamination kernel (shared
+    by the actor stage and the fused curation pass)."""
+    di, flat = _token_frame(texts.reset_index(drop=True))
+    gi, grams = _ngram_strings(di, flat, n)
+    n_grams = np.zeros(len(texts), dtype=np.int64)
+    n_matched = np.zeros(len(texts), dtype=np.int64)
+    if len(grams):
+        np.add.at(n_grams, gi, 1)
+        hs = url_hash64(list(grams))
+        if len(hset_sorted):
+            pos = np.searchsorted(hset_sorted, hs)
+            pos[pos == len(hset_sorted)] = 0
+            hit = hset_sorted[pos] == hs
+            np.add.at(n_matched, gi[hit], 1)
+    return n_grams, n_matched
+
+
 class Decontaminator:
     """map_batches stage: count benchmark n-gram hits per document.
 
@@ -108,23 +127,12 @@ class Decontaminator:
         self.n = n
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        texts = t.column("text").to_pandas()
-        di, flat = _token_frame(texts)
-        gi, grams = _ngram_strings(di, flat, self.n)
-        n_grams = np.zeros(t.num_rows, dtype=np.int64)
-        n_matched = np.zeros(t.num_rows, dtype=np.int64)
-        if len(grams):
-            np.add.at(n_grams, gi, 1)
-            hs = url_hash64(list(grams))
-            pos = np.searchsorted(self.hset, hs)
-            pos[pos == len(self.hset)] = 0
-            hit = (self.hset[pos] == hs) if len(self.hset) else np.zeros(
-                len(hs), dtype=bool)
-            np.add.at(n_matched, gi[hit], 1)
+        n_grams, n_matched = contamination_counts(
+            t.column("text").to_pandas(), self.hset, self.n
+        )
         return pa.table(
             {
-                "doc_id": ids,
+                "doc_id": t.column("doc_id"),
                 "n_grams": pa.array(n_grams),
                 "n_matched": pa.array(n_matched),
                 "contaminated": pa.array(n_matched > 0),

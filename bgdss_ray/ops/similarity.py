@@ -369,3 +369,119 @@ def recall_at_k(approx: pd.DataFrame, exact: pd.DataFrame, k: int) -> float:
         hits += len(want & got)
         total += len(want)
     return hits / total if total else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Embedding moments (mergeable exact-integer partials) + PCA projection
+# ---------------------------------------------------------------------------
+def _list_matrix(la) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column — handles plain
+    Arrow ListArray (zero-copy flat values) and Ray's ArrowTensorArray
+    extension (from_pandas datasets)."""
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    if hasattr(la, "values"):
+        return (la.values.to_numpy(zero_copy_only=False)
+                .reshape(len(la), -1).astype(np.float64))
+    return np.asarray(la.to_numpy(zero_copy_only=False)).reshape(
+        len(la), -1).astype(np.float64)
+
+
+def embedding_moments(ds, col: str = "embedding"):
+    """First and second moments of the embedding matrix as EXACT integer
+    sums over the 2^20-quantized vectors — the mergeable-partial pattern
+    (cf. the HLL registers / KMV sketch): every batch emits one
+    (n, sum-vector, Gram-matrix) row, merged by plain addition in any
+    order, so the result is independent of block layout and bit-exactly
+    reproducible in SQL.
+
+    Output tidy rows (i, j, v): (i, j>=0) -> Gram_ij; (i, -1) -> sum_i;
+    (-1, -1) -> row count. int64 is safe while n * 2^40 < 2^63, i.e. up to
+    ~8e6 rows per reduce; shard the reduce by range above that (documented
+    scale path)."""
+    def partial(t: pa.Table) -> pa.Table:
+        X = _list_matrix(t.column(col))
+        q = _quantize(X)
+        g = q.T @ q  # exact: int64 matmul
+        s = q.sum(axis=0)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "n": pa.array([len(q)], type=pa.int64()),
+                "s": pa.array([s.tolist()], type=pa.list_(pa.int64())),
+                "g": pa.array([g.ravel().tolist()], type=pa.list_(pa.int64())),
+                "d": pa.array([d], type=pa.int64()),
+            }
+        )
+
+    n_total = 0
+    s_total = None
+    g_total = None
+    d = 0
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for row in range(t.num_rows):
+            n_total += int(t.column("n")[row].as_py())
+            d = int(t.column("d")[row].as_py())
+            s = np.asarray(t.column("s")[row].as_py(), dtype=np.int64)
+            g = np.asarray(t.column("g")[row].as_py(), dtype=np.int64)
+            s_total = s if s_total is None else s_total + s
+            g_total = g if g_total is None else g_total + g
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    return pa.table(
+        {
+            "i": pa.array(
+                np.concatenate([ii.ravel(), np.arange(d), [-1]]).astype(np.int32)
+            ),
+            "j": pa.array(
+                np.concatenate([jj.ravel(), np.full(d, -1), [-1]]).astype(np.int32)
+            ),
+            "v": pa.array(
+                np.concatenate([g_total, s_total, [n_total]]).astype(np.int64)
+            ),
+        }
+    )
+
+
+def pca_project(ds, k: int = 2, col: str = "embedding", id_col: str = "vec_id"):
+    """Project embeddings onto the top-k principal components.
+
+    The covariance comes from :func:`embedding_moments` (one streaming
+    pass, mergeable integer partials); the d x d eigendecomposition is
+    driver-side (d=64 -- trivial); the projection is a second streaming
+    map with the component matrix broadcast in the closure. Deterministic
+    sign convention: each component's largest-|coefficient| entry is made
+    positive."""
+    mom = embedding_moments(ds, col=col)
+    iv = mom.column("i").to_numpy(zero_copy_only=False)
+    jv = mom.column("j").to_numpy(zero_copy_only=False)
+    vv = mom.column("v").to_numpy(zero_copy_only=False)
+    n = int(vv[(iv == -1) & (jv == -1)][0])
+    d = int(iv.max()) + 1
+    s = np.zeros(d)
+    s[iv[(jv == -1) & (iv >= 0)]] = vv[(jv == -1) & (iv >= 0)]
+    G = np.zeros((d, d))
+    m = (iv >= 0) & (jv >= 0)
+    G[iv[m], jv[m]] = vv[m]
+    mean = s / (n * QUANT_SCALE)
+    cov = G / (n * QUANT_SCALE**2) - np.outer(mean, mean)
+    w, V = np.linalg.eigh(cov)
+    comp = V[:, np.argsort(w)[::-1][:k]]  # d x k, descending variance
+    for c in range(k):
+        a = comp[:, c]
+        if a[np.argmax(np.abs(a))] < 0:
+            comp[:, c] = -a
+    evr = np.sort(w)[::-1][:k] / max(w.sum(), 1e-300)
+
+    def project(t: pa.Table) -> pa.Table:
+        X = _list_matrix(t.column(col))
+        P = (X - mean) @ comp
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "pc": pa.array(P.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow"), comp, evr

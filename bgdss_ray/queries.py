@@ -1997,18 +1997,31 @@ def tfidf_top_terms(sf_dir: str):
         on=("term",),
     )
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["doc_id"].to_numpy() % 32
+        return df
+
+    def top3_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per BUCKET of docs (not per doc): one sort + cumcount
+        # instead of thousands of per-group python calls
         g = g.copy()
         g["score"] = g["tf"].to_numpy(dtype=np.float64) * np.log(
             float(n_docs) / g["df"].to_numpy(dtype=np.float64)
         )
-        g = g.sort_values(["score", "term"], ascending=[False, True]).head(3)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True])
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        g = g[g["rank"] <= 3]
         # score stays internal: numpy log and DuckDB ln differ by 1 ulp on
         # some inputs; the RANK (ordering) is identical and exact
         return g[["doc_id", "term", "tf", "df", "rank"]]
 
-    return joined.groupby("doc_id").map_groups(top3, batch_format="pandas")
+    return (
+        joined.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(top3_bucket, batch_format="pandas")
+    )
 
 
 TFIDF_TOP_TERMS_SQL = r"""
@@ -2038,6 +2051,36 @@ FROM (
 """
 
 
+def embedding_moments_q(sf_dir: str):
+    """Mean/Gram moments of the embedding table as exact integer sums over
+    the 2^20-quantized vectors (mergeable per-batch partials; block-layout
+    independent) — DuckDB recomputes every cell bit-exactly. These moments
+    feed pca_project (eigendecomposition + projection, property-tested in
+    pytest — eigensolves aren't SQL)."""
+    from .ops.similarity import embedding_moments
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_moments(ds)
+
+
+EMBEDDING_MOMENTS_SQL = r"""
+WITH q AS (
+  SELECT vec_id, j.j,
+         CAST(floor(CAST(embedding[j.j] AS DOUBLE) * 1048576) AS BIGINT) AS q
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) j
+)
+SELECT CAST(a.j - 1 AS INT) AS i, CAST(b.j - 1 AS INT) AS j,
+       CAST(sum(a.q * b.q) AS BIGINT) AS v
+FROM q a JOIN q b ON b.vec_id = a.vec_id
+GROUP BY a.j, b.j
+UNION ALL
+SELECT CAST(j - 1 AS INT), -1, CAST(sum(q) AS BIGINT) FROM q GROUP BY j
+UNION ALL
+SELECT -1, -1, CAST(count(*) AS BIGINT) FROM embeddings
+"""
+
+
 def curate_corpus(sf_dir: str):
     """End-to-end corpus curation: one augmented corpus (deterministic
     clone + repetition planting so every leg has live work) flows through
@@ -2047,13 +2090,20 @@ def curate_corpus(sf_dir: str):
     — joined on doc_id into the final keep decision.
 
     keep = rep_keep AND NOT contaminated AND is_canonical. All three legs
-    and the composition are bit-exact in DuckDB."""
-    from ray.data.aggregate import Min
+    and the composition are bit-exact in DuckDB.
+
+    Shuffle plan: exact dedup is the only leg that NEEDS co-location
+    (min-id per text-hash), so the pipeline buckets once by text-hash and
+    computes ALL THREE legs vectorized inside that single
+    groupby(bucket).map_groups — the per-row legs (repetition stats,
+    broadcast-gram contamination) ride the mandatory shuffle for free;
+    zero joins, one shuffle total."""
+    import ray as _ray
 
     from .ops.curation import (
         RepetitionFilter,
         benchmark_ngram_set,
-        Decontaminator,
+        contamination_counts,
         plant_clones,
         plant_repetition,
     )
@@ -2062,58 +2112,43 @@ def curate_corpus(sf_dir: str):
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
     aug = docs.map_batches(plant_clones, batch_format="pandas").map_batches(
         plant_repetition, batch_format="pandas"
-    ).materialize()  # three legs read it; keep the blocks, not the lineage
-
-    rep = aug.map_batches(RepetitionFilter(), batch_format="pandas").map_batches(
-        lambda df: df[["doc_id", "keep"]].rename(columns={"keep": "rep_keep"}),
-        batch_format="pandas",
-    )
+    ).materialize()  # the gram pass and the bucket pass both read it
 
     ref, _ = benchmark_ngram_set(aug, n=8, id_mod=37)
-    dec = aug.map_batches(
-        Decontaminator, fn_constructor_args=(ref, 8),
-        batch_format="pyarrow", concurrency=(1, 8),
-    ).map_batches(
-        lambda df: df[["doc_id", "contaminated"]], batch_format="pandas"
-    )
+    rf = RepetitionFilter()
 
-    def hash_text(df: pd.DataFrame) -> pd.DataFrame:
-        # int64 view: Ray's shuffle concat rejects uint64 above 2^63
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        th = url_hash64(df["text"].fillna("").tolist())
+        df["th"] = th.view(np.int64)  # Ray shuffles reject uint64 > 2^63
+        df["bucket"] = (th >> np.uint64(59)).astype(np.int64)  # 32 ranges
+        return df
+
+    def legs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
+        is_canon = (
+            g["doc_id"].to_numpy()
+            == g.groupby("th")["doc_id"].transform("min").to_numpy()
+        )
+        rep_keep = rf(g[["doc_id", "text"]])["keep"].to_numpy()
+        hset = np.sort(_ray.get(ref))
+        _, n_matched = contamination_counts(g["text"].fillna(""), hset, 8)
+        contaminated = n_matched > 0
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
-                "th": url_hash64(df["text"].fillna("").tolist())
-                      .view(np.int64),
+                "doc_id": g["doc_id"],
+                "rep_keep": rep_keep,
+                "contaminated": contaminated,
+                "is_canonical": is_canon,
+                "keep": rep_keep & ~contaminated & is_canon,
             }
         )
 
-    hashed = aug.map_batches(hash_text, batch_format="pandas")
-    minids = hashed.groupby("th").aggregate(Min("doc_id")).map_batches(
-        lambda t: t.rename_columns(["th", "min_id"]), batch_format="pyarrow"
+    return (
+        aug.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(legs, batch_format="pandas")
     )
-    canon = hashed.join(minids, join_type="inner", num_partitions=8,
-                        on=("th",)).map_batches(
-        lambda df: pd.DataFrame(
-            {"doc_id": df["doc_id"],
-             "is_canonical": df["doc_id"].to_numpy()
-                             == df["min_id"].to_numpy()}
-        ),
-        batch_format="pandas",
-    )
-
-    out = rep.join(dec, join_type="inner", num_partitions=8, on=("doc_id",))
-    out = out.join(canon, join_type="inner", num_partitions=8, on=("doc_id",))
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["keep"] = (
-            df["rep_keep"].to_numpy()
-            & ~df["contaminated"].to_numpy()
-            & df["is_canonical"].to_numpy()
-        )
-        return df[["doc_id", "rep_keep", "contaminated", "is_canonical", "keep"]]
-
-    return out.map_batches(finish, batch_format="pandas")
 
 
 CURATE_CORPUS_SQL = r"""
@@ -2334,4 +2369,5 @@ SQL_PAIRED = {
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "kmv_quantiles": (kmv_quantiles_q, KMV_QUANTILES_SQL),
     "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),
+    "embedding_moments": (embedding_moments_q, EMBEDDING_MOMENTS_SQL),
 }

@@ -113,3 +113,46 @@ def test_oracle_quantized_modes(emb):
                 )
                 key |= (1 if dot > 0 else 0) << b
             assert key == int(keys[i, t])
+
+
+def test_embedding_moments_block_layout_invariant(ray_session):
+    """Mergeable integer partials: any block layout gives identical sums."""
+    import pandas as pd
+
+    from bgdss_ray.ops.similarity import embedding_moments
+
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    a = embedding_moments(rd.from_pandas(df)).to_pandas()
+    parts = [df.iloc[i::7].reset_index(drop=True) for i in range(7)]
+    ds7 = rd.from_pandas(parts)  # 7 blocks, interleaved rows
+    b = embedding_moments(ds7).to_pandas()
+    a = a.sort_values(["i", "j"]).reset_index(drop=True)
+    b = b.sort_values(["i", "j"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pca_project_properties(ray_session):
+    """Components orthonormal, variances = descending eigenvalues, and the
+    projection matches a numpy PCA on the same quantized covariance."""
+    import pandas as pd
+
+    from bgdss_ray.ops.similarity import QUANT_SCALE, pca_project
+
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = rd.from_pandas(df)
+    proj, comp, evr = pca_project(ds, k=3)
+    assert np.allclose(comp.T @ comp, np.eye(3), atol=1e-9)
+    assert evr[0] >= evr[1] >= evr[2] >= 0
+    out = proj.to_pandas().sort_values("vec_id")
+    P = np.asarray(out["pc"].tolist())
+    X = np.asarray(df.sort_values("vec_id")["embedding"].tolist(), dtype=np.float64)
+    q = np.floor(X * QUANT_SCALE)
+    mean = q.mean(axis=0) / QUANT_SCALE
+    cov = (q.T @ q) / (len(q) * QUANT_SCALE**2) - np.outer(mean, mean)
+    w, V = np.linalg.eigh(cov)
+    lead = np.sort(w)[::-1][:3]
+    # projected variance per component equals the eigenvalue (population var)
+    pv = (P ** 2).sum(axis=0) / len(P) - (P.sum(axis=0) / len(P)) ** 2
+    assert np.allclose(pv, lead, rtol=1e-6)
