@@ -91,6 +91,7 @@ def benchmark_ngram_set(ds, n: int = 8, id_mod: int = 37):
         return pa.table({"h": pa.array(np.unique(hs), type=pa.uint64())})
 
     rows = ds.map_batches(grams, batch_format="pyarrow").take_all()
+    # np.unique returns SORTED hashes — consumers searchsorted directly
     hset = np.unique(np.asarray([r["h"] for r in rows], dtype=np.uint64))
     return ray.put(hset), int(len(hset))
 
@@ -123,7 +124,7 @@ class Decontaminator:
     """
 
     def __init__(self, hset_ref, n: int = 8):
-        self.hset = np.sort(ray.get(hset_ref))
+        self.hset = ray.get(hset_ref)  # sorted by construction (np.unique)
         self.n = n
 
     def __call__(self, t: pa.Table) -> pa.Table:

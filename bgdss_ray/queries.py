@@ -2131,7 +2131,7 @@ def curate_corpus(sf_dir: str):
             == g.groupby("th")["doc_id"].transform("min").to_numpy()
         )
         rep_keep = rf(g[["doc_id", "text"]])["keep"].to_numpy()
-        hset = np.sort(_ray.get(ref))
+        hset = _ray.get(ref)  # sorted by construction (np.unique)
         _, n_matched = contamination_counts(g["text"].fillna(""), hset, 8)
         contaminated = n_matched > 0
         return pd.DataFrame(
