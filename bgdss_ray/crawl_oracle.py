@@ -562,8 +562,6 @@ ps{w} AS MATERIALIZED (  -- wave {w} selection under per-host + wave caps
 )""")
         cum = (f"(SELECT count(*) FROM ps{w})" if cum is None
                else f"({cum} + (SELECT count(*) FROM ps{w}))")
-        if w == n_waves - 1:
-            break
         out.append(f"""
 pc{w} AS MATERIALIZED (  -- wave-{w} candidates: min-okey occurrence wins (incl. depth)
   SELECT cl.dst,
@@ -593,10 +591,13 @@ pb{w + 1} AS MATERIALIZED (  -- carry-over (cap-deferred) rows precede nothing: 
   SELECT * FROM pn{w}
 )""")
         seen_union += f" UNION ALL SELECT url FROM pn{w}"
+    union = " UNION ALL ".join(
+        f"SELECT url, is_pdf, host, y, m, k, p, seq, depth, {w} AS wave "
+        f"FROM ps{w}" for w in range(n_waves)
+    )
     out.append(f"""
 crawl AS MATERIALIZED (
-  SELECT url, is_pdf, host, y, m, k, p, seq, depth
-  FROM ({" UNION ALL ".join(f"SELECT * FROM ps{w}" for w in range(n_waves))})
+  SELECT * FROM ({union})
 )""")
     return ",\n".join(s.strip() for s in out)
 
@@ -676,3 +677,44 @@ PRIORITY_LOG_SQL = _compose(
     PRELUDE, _priority_waves(n_waves=4, wave_cap=200, per_host_cap=25),
     RESTEXT, ITEMS, VTIME,
 ) + _LOG_SELECT
+
+
+def _priority_wave_counts_select(n_waves: int) -> str:
+    """Per-wave deterministic counters of the priority crawl. Unlike BFS,
+    priority n_cand counts the DEDUPED candidate table (pipeline.py
+    priority path passes cand.num_rows), so rejected = |pc_w| - |pn_w|."""
+    cand_counts = "\n  UNION ALL ".join(
+        f"SELECT {w} AS wave, (SELECT count(*) FROM pc{w}) AS n_cand, "
+        f"(SELECT count(*) FROM pn{w}) AS n_new" for w in range(n_waves)
+    )
+    return f"""
+, wstats AS (
+  SELECT c.wave,
+         count(*) AS selected,
+         sum(CASE WHEN s.status = 200 THEN 1 ELSE 0 END) AS fetched_ok,
+         sum(CASE WHEN s.status <> 200 THEN 1 ELSE 0 END) AS fetch_errors,
+         sum(CASE WHEN s.status = 200 AND (NOT c.is_pdf OR pl.valid)
+                  THEN 1 ELSE 0 END) AS docs_emitted
+  FROM crawl c
+  JOIN statuses s ON s.url = c.url
+  LEFT JOIN pdf_len pl ON pl.url = c.url
+  GROUP BY c.wave
+),
+cn AS ({cand_counts})
+SELECT CAST(w.wave AS INT) AS wave,
+       CAST(cn.n_new AS BIGINT) AS frontier_size,
+       CAST(w.selected AS BIGINT) AS selected,
+       CAST(w.fetched_ok AS BIGINT) AS fetched_ok,
+       CAST(w.fetch_errors AS BIGINT) AS fetch_errors,
+       CAST(cn.n_new AS BIGINT) AS new_urls,
+       CAST(greatest(cn.n_cand - cn.n_new, 0) AS BIGINT) AS rejected_urls,
+       CAST(w.docs_emitted AS BIGINT) AS docs_emitted
+FROM wstats w JOIN cn ON cn.wave = w.wave
+ORDER BY wave
+"""
+
+
+PRIORITY_WAVE_COUNTS_SQL = _compose(
+    PRELUDE, _priority_waves(n_waves=4, wave_cap=200, per_host_cap=25),
+    RESTEXT, ITEMS,
+) + _priority_wave_counts_select(4)

@@ -290,6 +290,16 @@ def crawl_priority_pipeline(sf_dir: str):
     return CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
 
 
+def crawl_priority_metrics_pipeline(sf_dir: str):
+    """Priority-mode per-wave metrics table (runs/reuses the cached
+    priority crawl)."""
+    import tempfile
+
+    crawl_priority_pipeline(sf_dir)  # ensure the cached run exists
+    out = os.path.join(tempfile.gettempdir(), f"bgdss_driver_prio_{_CACHE_VERSION}")
+    return CrawlCheckpoint(out).read_all("metrics")
+
+
 def lang_quality_pipeline(sf_dir: str):
     from .ops.textstats import LangId, QualityScorer
 

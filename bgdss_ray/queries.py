@@ -2307,6 +2307,21 @@ def crawl_priority_log_q(sf_dir: str):
     return P.crawl_priority_pipeline(sf_dir)
 
 
+def crawl_priority_wave_counts_q(sf_dir: str):
+    """Deterministic per-wave counters of the priority-frontier crawl
+    (wall-clock columns excluded); DuckDB replays the host-capped wave
+    selection and the deduped-candidate admission arithmetic."""
+    from . import pipelines as P
+
+    t = P.crawl_priority_metrics_pipeline(sf_dir)
+    return t.select(
+        [
+            "wave", "frontier_size", "selected", "fetched_ok",
+            "fetch_errors", "new_urls", "rejected_urls", "docs_emitted",
+        ]
+    )
+
+
 def resolutions_q(sf_dir: str):
     """Crawl pdf documents → the deterministic 7-field resolutions table;
     the whole extraction contract (length gate, regex fields, sentinel
@@ -2370,4 +2385,7 @@ SQL_PAIRED = {
     "kmv_quantiles": (kmv_quantiles_q, KMV_QUANTILES_SQL),
     "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),
     "embedding_moments": (embedding_moments_q, EMBEDDING_MOMENTS_SQL),
+    "crawl_priority_wave_counts": (
+        crawl_priority_wave_counts_q, _crawl_oracle.PRIORITY_WAVE_COUNTS_SQL
+    ),
 }
