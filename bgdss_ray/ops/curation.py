@@ -34,7 +34,12 @@ import ray
 
 from ..urlnorm import url_hash64
 
-_WS = re.compile(r"\s+")
+# RE2's \s is exactly ASCII [ \t\n\r\f\v]; python's unicode \s (and
+# str.strip()) also eats NBSP etc. — pin BOTH tokenizer and edge-strip to
+# the ASCII class so engine and DuckDB agree on EVERY input, not just the
+# whitespace-clean corpus
+_WS = re.compile(r"[ \t\n\r\f\v]+")
+_EDGE_WS = re.compile(r"^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$")
 # ASCII-explicit symbol class so python re and DuckDB RE2 agree on every
 # codepoint (\\w would diverge on unicode categories)
 _SYMBOL = re.compile(r"[^A-Za-z0-9\s]")
@@ -49,7 +54,8 @@ SYMBOL_RATIO_MAX = 0.10
 def _token_frame(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(doc_index, token) exploded arrays for a batch — one vectorized
     split, no per-doc loop."""
-    tok_lists = texts.fillna("").str.strip().str.split(_WS)
+    tok_lists = (texts.fillna("").str.replace(_EDGE_WS, "", regex=True)
+                 .str.split(_WS))
     tok_lists = tok_lists.apply(lambda L: [] if L == [""] else L)
     counts = tok_lists.str.len().to_numpy()
     doc_idx = np.repeat(np.arange(len(texts)), counts)
@@ -169,7 +175,7 @@ def plant_repetition(df: pd.DataFrame) -> pd.DataFrame:
     out[m11] = t[m11] + "\n" + t[m11] + "\n" + t[m11]
     out[m7] = t[m7] + " " + t[m7].str.len().floordiv(4).map(lambda k: "@" * k)
     if m5.any():
-        toks = t[m5].str.strip().str.split(_WS)
+        toks = t[m5].str.replace(_EDGE_WS, "", regex=True).str.split(_WS)
         pair = toks.map(
             lambda L: (" " + L[0] + " " + L[1]) * 80 if len(L) >= 2 else ""
         )

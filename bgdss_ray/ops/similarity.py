@@ -428,6 +428,17 @@ def embedding_moments(ds, col: str = "embedding"):
             g = np.asarray(t.column("g")[row].as_py(), dtype=np.int64)
             s_total = s if s_total is None else s_total + s
             g_total = g if g_total is None else g_total + g
+    if n_total == 0 or g_total is None:
+        raise ValueError("embedding_moments: empty dataset")
+    # int64 safety: |q| <= 2^20 so each Gram cell is <= n * 2^40; past that
+    # the numpy accumulation would WRAP silently (the DuckDB side errors
+    # loudly on the HUGEINT->BIGINT cast). Shard the reduce by hash range
+    # and sum per shard before crossing this bound at real scale.
+    if n_total > (1 << 22):
+        raise OverflowError(
+            "embedding_moments int64 Gram bound exceeded: "
+            f"n={n_total} > 2^22; shard the reduce by hash range"
+        )
     ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
     return pa.table(
         {

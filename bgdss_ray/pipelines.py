@@ -276,10 +276,9 @@ def ann_ivf_pipeline(sf_dir: str):
     return out.reset_index(drop=True)
 
 
-def crawl_priority_pipeline(sf_dir: str):
-    """Priority-frontier crawl (north-star mode) on a small corpus."""
-    import tempfile
-
+def _prio_dir() -> str:
+    """Run (or reuse this process's) driver priority crawl under /tmp —
+    the single source of the cache path (cf. _crawl_dir)."""
     from .pipeline import crawl_priority
 
     out = os.path.join(tempfile.gettempdir(), f"bgdss_driver_prio_{_CACHE_VERSION}")
@@ -287,17 +286,18 @@ def crawl_priority_pipeline(sf_dir: str):
     if ck.load_manifest() is None:
         shutil.rmtree(out, ignore_errors=True)
         crawl_priority(DRIVER_WEB, out, DRIVER_CFG, wave_cap=200, per_host_cap=25)
-    return CrawlCheckpoint(out).read_all("crawl_log").sort_by("crawl_seq")
+    return out
+
+
+def crawl_priority_pipeline(sf_dir: str):
+    """Priority-frontier crawl (north-star mode) on a small corpus."""
+    return CrawlCheckpoint(_prio_dir()).read_all("crawl_log").sort_by("crawl_seq")
 
 
 def crawl_priority_metrics_pipeline(sf_dir: str):
     """Priority-mode per-wave metrics table (runs/reuses the cached
     priority crawl)."""
-    import tempfile
-
-    crawl_priority_pipeline(sf_dir)  # ensure the cached run exists
-    out = os.path.join(tempfile.gettempdir(), f"bgdss_driver_prio_{_CACHE_VERSION}")
-    return CrawlCheckpoint(out).read_all("metrics")
+    return CrawlCheckpoint(_prio_dir()).read_all("metrics")
 
 
 def lang_quality_pipeline(sf_dir: str):

@@ -340,7 +340,7 @@ def token_count(sf_dir: str):
 
 
 TOKEN_COUNT_SQL = r"""
-SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens
+SELECT doc_id, CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS ws_tokens
 FROM documents
 """
 
@@ -638,7 +638,7 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE CAST(CEIL(len(regexp_split_to_array(trim(text), '\s+')) / 12.0) AS BIGINT)
+              ELSE CAST(CEIL(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) / 12.0) AS BIGINT)
          END AS ntext
   FROM documents
 )
@@ -948,7 +948,7 @@ SPANIFY_SPANS_SQL = r"""
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS w
   FROM documents
 )
 SELECT doc_id, CAST(i AS INT) AS "offset", 'text' AS kind,
@@ -993,7 +993,7 @@ LLM_EXTRACT_SQL = r"""
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS w
   FROM documents
 ),
 chunks AS (
@@ -1806,7 +1806,7 @@ def decontaminate_q(sf_dir: str):
 
 DECONTAMINATE_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
   FROM documents
 ),
 grams AS (
@@ -1861,14 +1861,14 @@ WITH aug AS (  -- plant_repetition, string-for-string
          END AS text
   FROM (
     SELECT doc_id, coalesce(text, '') AS t,
-           regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w0
+           regexp_split_to_array(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+') AS w0
     FROM documents
   )
 ),
 base AS (
   SELECT doc_id, text,
          string_split(text, chr(10)) AS lines,
-         regexp_split_to_array(trim(text), '\s+') AS w
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
   FROM aug
 ),
 ln AS (
@@ -1964,27 +1964,29 @@ def tfidf_top_terms(sf_dir: str):
     the vocabulary table stays a Dataset and joins back onto the term
     frame with a hash-partitioned ``Dataset.join`` (the vocabulary of a
     100 TB corpus is NOT a broadcastable small side); (3) per-doc top-3 in
-    ``groupby(doc_id).map_groups``. Score = tf * ln(N/df) with both sides
-    computing the same double expression (the score itself stays internal —
-    libm log differs from DuckDB ln by 1 ulp on some inputs; the resulting
-    RANK is exact on both sides); ties break by term."""
+    bucketed ``map_groups``. RANK key = tf * N / df (the linear-idf
+    tf-idf variant): it is computed as the same two exact-int IEEE double
+    ops on both sides, so the ordering — unlike a log-based score, where
+    libm and DuckDB ln can disagree by 1 ulp and flip a cross-pair tie —
+    is deterministic for EVERY corpus; ties break by term. The log score
+    tf*ln(N/df) is still emitted engine-side for consumers."""
+    from .ops.curation import _token_frame
+
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()  # parquet-metadata count, no scan
 
     def term_freqs(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.strip().str.split(r"\s+", regex=True)
-        toks = toks.apply(lambda L: [] if L == [""] else L)
+        # the SAME tokenizer as the curation ops (SQL-paired \s class)
+        di, toks = _token_frame(df["text"].reset_index(drop=True))
         flat = pd.DataFrame(
-            {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(),
-                                    toks.str.len().to_numpy()),
-                "term": [t for L in toks for t in L],
-            }
+            {"doc_id": df["doc_id"].to_numpy()[di], "term": toks}
         )
         out = flat.groupby(["doc_id", "term"], sort=False).size()
         return out.rename("tf").reset_index()
 
-    tf = ds.map_batches(term_freqs, batch_format="pandas")
+    # materialize: the frame feeds BOTH the dfreq groupby and the join —
+    # without it Ray re-executes the read+tokenize lineage twice
+    tf = ds.map_batches(term_freqs, batch_format="pandas").materialize()
     dfreq = tf.groupby("term").count()  # (term, count()) — docs per term
 
     def rename_df(t: pa.Table) -> pa.Table:
@@ -2006,15 +2008,20 @@ def tfidf_top_terms(sf_dir: str):
         # vectorized per BUCKET of docs (not per doc): one sort + cumcount
         # instead of thousands of per-group python calls
         g = g.copy()
-        g["score"] = g["tf"].to_numpy(dtype=np.float64) * np.log(
-            float(n_docs) / g["df"].to_numpy(dtype=np.float64)
-        )
-        g = g.sort_values(["doc_id", "score", "term"],
+        # rank key: (tf * N) / df in EXACTLY this op order — two IEEE
+        # double ops over exact ints, bit-identical to the SQL expression
+        g["rkey"] = (
+            g["tf"].to_numpy(dtype=np.float64) * float(n_docs)
+        ) / g["df"].to_numpy(dtype=np.float64)
+        g = g.sort_values(["doc_id", "rkey", "term"],
                           ascending=[True, False, True])
         g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
         g = g[g["rank"] <= 3]
-        # score stays internal: numpy log and DuckDB ln differ by 1 ulp on
-        # some inputs; the RANK (ordering) is identical and exact
+        # the classical log score, engine-side only (libm vs DuckDB ln
+        # differ by 1 ulp on some inputs, so it is not a parity column)
+        g["score"] = g["tf"].to_numpy(dtype=np.float64) * np.log(
+            float(n_docs) / g["df"].to_numpy(dtype=np.float64)
+        )
         return g[["doc_id", "term", "tf", "df", "rank"]]
 
     return (
@@ -2026,8 +2033,9 @@ def tfidf_top_terms(sf_dir: str):
 
 TFIDF_TOP_TERMS_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-  FROM documents WHERE trim(coalesce(text, '')) <> ''
+  SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
+  FROM documents
+  WHERE regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') <> ''
 ),
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -2035,16 +2043,19 @@ tf AS (
 ),
 dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
 scored AS (
+  -- rank key (tf * N) / df in EXACTLY the engine's op order: two IEEE
+  -- double ops over exact ints -> deterministic ordering on both sides
+  -- (a log-based key can flip cross-pair ties by 1 ulp of ln)
   SELECT t.doc_id, t.term, t.tf, d.df,
-         CAST(t.tf AS DOUBLE) *
-           ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
-              / CAST(d.df AS DOUBLE)) AS score
+         (CAST(t.tf AS DOUBLE) *
+          (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+           / CAST(d.df AS DOUBLE) AS rkey
   FROM tf t JOIN dfreq d ON d.term = t.term
 )
 SELECT doc_id, term, tf, df, CAST(r AS BIGINT) AS rank
 FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY doc_id ORDER BY score DESC, term
+    PARTITION BY doc_id ORDER BY rkey DESC, term
   ) AS r
   FROM scored
 ) WHERE r <= 3
@@ -2162,7 +2173,7 @@ WITH aug AS (  -- plant_clones then plant_repetition, string-for-string
            ELSE t
          END AS text
   FROM (
-    SELECT doc_id, t, regexp_split_to_array(trim(t), '\s+') AS w0
+    SELECT doc_id, t, regexp_split_to_array(regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+') AS w0
     FROM (
       SELECT doc_id,
              CASE WHEN doc_id % 13 = 0
@@ -2175,7 +2186,7 @@ WITH aug AS (  -- plant_clones then plant_repetition, string-for-string
 base AS (
   SELECT doc_id, text,
          string_split(text, chr(10)) AS lines,
-         regexp_split_to_array(trim(text), '\s+') AS w
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
   FROM aug
 ),
 ln AS (

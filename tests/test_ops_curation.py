@@ -128,14 +128,16 @@ def test_stratified_sample_matches_pandas_oracle(ray_session):
 
 
 def test_tfidf_top_terms_semantics(ray_session):
-    """Rank-1 term per doc is the highest tf*ln(N/df); rare terms beat
-    ubiquitous ones (checked on sf0.001 with a pandas/numpy oracle)."""
+    """Rank-1 term per doc maximizes the linear-idf key tf*N/df — checked
+    with an EXACT-rational pandas oracle (Fraction), so the test itself
+    cannot float-flip; rare terms beat ubiquitous ones."""
+    from fractions import Fraction
+
     from bgdss_ray.queries import tfidf_top_terms
 
     sf = "/root/testdata/sf0.001"
     got = tfidf_top_terms(sf).to_pandas()
     docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-    n = len(docs)
     toks = docs.set_index("doc_id")["text"].fillna("").str.strip().str.split(r"\s+", regex=True)
     tf = {}
     dfreq = {}
@@ -150,9 +152,9 @@ def test_tfidf_top_terms_semantics(ray_session):
             dfreq[term] = dfreq.get(term, 0) + 1
     assert (got.groupby("doc_id").size() <= 3).all()
     assert (got.groupby("doc_id")["rank"].min() == 1).all()
-    # spot-check 25 docs: the engine's rank-1 equals the oracle's argmax
+    # spot-check 25 docs: the engine's rank-1 equals the exact argmax
     for d in list(tf)[:25]:
-        scores = {t: c * np.log(n / dfreq[t]) for t, c in tf[d].items()}
+        scores = {t: Fraction(c, dfreq[t]) for t, c in tf[d].items()}
         best = min(sorted(scores), key=lambda t: (-scores[t], t))
         eng = got[(got.doc_id == d) & (got["rank"] == 1)]["term"].iloc[0]
         assert eng == best, (d, eng, best)
