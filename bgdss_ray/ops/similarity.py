@@ -496,3 +496,62 @@ def pca_project(ds, k: int = 2, col: str = "embedding", id_col: str = "vec_id"):
         )
 
     return ds.map_batches(project, batch_format="pyarrow"), comp, evr
+
+
+def label_centroids(ds, col: str = "embedding", label_col: str = "label"):
+    """Per-label centroid sums (class prototypes) as EXACT integer
+    partials: every batch emits one (label, sum-vector, count) row over
+    the 2^20-quantized vectors; partials merge by addition in any order
+    (same mergeable contract as :func:`embedding_moments`). The label
+    space is the small side (classes, clusters, IVF lists), so the driver
+    merge is O(blocks x labels); centroid = s / (n * 2^20) downstream.
+
+    Output tidy rows (label, j, s, n) — one per (label, dimension)."""
+    def partial(t: pa.Table) -> pa.Table:
+        X = _list_matrix(t.column(col))
+        q = _quantize(X)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(ulab), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(ulab),
+                "s": pa.array(sums.tolist(), type=pa.list_(pa.int64())),
+                "n": pa.array(counts),
+            }
+        )
+
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        labs = t.column("label").to_numpy(zero_copy_only=False)
+        ns = t.column("n").to_numpy(zero_copy_only=False)
+        svals = t.column("s").to_pylist()
+        for lb, s, n in zip(labs, svals, ns):
+            s = np.asarray(s, dtype=np.int64)
+            if int(lb) in acc:
+                s0, n0 = acc[int(lb)]
+                acc[int(lb)] = (s0 + s, n0 + int(n))
+            else:
+                acc[int(lb)] = (s, int(n))
+    labels = sorted(acc)
+    rows_l, rows_j, rows_s, rows_n = [], [], [], []
+    for lb in labels:
+        s, n = acc[lb]
+        for j, v in enumerate(s):
+            rows_l.append(lb)
+            rows_j.append(j)
+            rows_s.append(int(v))
+            rows_n.append(n)
+    return pa.table(
+        {
+            "label": pa.array(rows_l, type=pa.int64()),
+            "j": pa.array(rows_j, type=pa.int32()),
+            "s": pa.array(rows_s, type=pa.int64()),
+            "n": pa.array(rows_n, type=pa.int64()),
+        }
+    )

@@ -2092,6 +2092,28 @@ SELECT -1, -1, CAST(count(*) AS BIGINT) FROM embeddings
 """
 
 
+def label_centroids_q(sf_dir: str):
+    """Per-label embedding centroid sums (class prototypes / k-means-style
+    aggregation) as exact integer partials — DuckDB recomputes every
+    (label, dimension) cell bit-exactly."""
+    from .ops.similarity import label_centroids
+
+    ds = _pq(sf_dir, "embeddings", ["embedding", "label"])
+    return label_centroids(ds)
+
+
+LABEL_CENTROIDS_SQL = r"""
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(jj.j - 1 AS INT) AS j,
+       CAST(sum(CAST(floor(CAST(embedding[jj.j] AS DOUBLE) * 1048576)
+                     AS BIGINT)) AS BIGINT) AS s,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) jj
+GROUP BY label, jj.j
+"""
+
+
 def curate_corpus(sf_dir: str):
     """End-to-end corpus curation: one augmented corpus (deterministic
     clone + repetition planting so every leg has live work) flows through
@@ -2399,4 +2421,5 @@ SQL_PAIRED = {
     "crawl_priority_wave_counts": (
         crawl_priority_wave_counts_q, _crawl_oracle.PRIORITY_WAVE_COUNTS_SQL
     ),
+    "label_centroids": (label_centroids_q, LABEL_CENTROIDS_SQL),
 }

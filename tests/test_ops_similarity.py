@@ -156,3 +156,29 @@ def test_pca_project_properties(ray_session):
     # projected variance per component equals the eigenvalue (population var)
     pv = (P ** 2).sum(axis=0) / len(P) - (P.sum(axis=0) / len(P)) ** 2
     assert np.allclose(pv, lead, rtol=1e-6)
+
+
+def test_label_centroids_merge_and_values(ray_session):
+    """Partials merge layout-independently; centroid values match a direct
+    numpy computation on the quantized matrix."""
+    import pandas as pd
+
+    from bgdss_ray.ops.similarity import QUANT_SCALE, label_centroids
+
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["embedding", "label"])
+    a = label_centroids(rd.from_pandas(df)).to_pandas()
+    parts = [df.iloc[i::5].reset_index(drop=True) for i in range(5)]
+    b = label_centroids(rd.from_pandas(parts)).to_pandas()
+    key = ["label", "j"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    X = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+    q = np.floor(X * QUANT_SCALE).astype(np.int64)
+    lab = df["label"].to_numpy()
+    for lb in np.unique(lab):
+        sub = a[a.label == lb].sort_values("j")
+        assert (sub["s"].to_numpy() == q[lab == lb].sum(axis=0)).all()
+        assert (sub["n"] == int((lab == lb).sum())).all()
