@@ -32,10 +32,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     q.update(
         {
-            # crawl engine, nested/timing-bearing shapes: the nested spans
-            # payload and the deterministic metric columns are SQL-paired
-            # as crawl_doc_spans / crawl_wave_counts in SQL_PAIRED
-            "crawl_documents": P.crawl_documents_pipeline,
+            # crawl_documents is SQL-paired via its per-doc span digest
+            # (crawl_documents in SQL_PAIRED); crawl_metrics carries
+            # wall-clock rate columns SQL cannot reproduce — its
+            # deterministic columns are paired as crawl_wave_counts
             "crawl_metrics": P.crawl_metrics_pipeline,
         }
     )

@@ -415,9 +415,9 @@ _LOG_SELECT = """
 SELECT c.url,
        md5_number_upper(c.url) AS url_hash,
        c.host, c.depth, s.status, s.attempts,
-       CASE WHEN s.status <> 200 THEN 0
-            WHEN c.is_pdf THEN pl.body_len
-            ELSE ll.body_len END AS content_len,
+       CAST(CASE WHEN s.status <> 200 THEN 0
+                 WHEN c.is_pdf THEN pl.body_len
+                 ELSE ll.body_len END AS BIGINT) AS content_len,
        CASE WHEN c.is_pdf THEN 'pdf' ELSE 'listing' END AS kind,
        c.seq AS crawl_seq,
        v.vt + CASE WHEN s.attempts = 3 THEN 6.0 ELSE 0.0 END AS vtime
@@ -438,7 +438,7 @@ CRAWL_LOG_SQL = _compose(PRELUDE, WAVES, RESTEXT, ITEMS, VTIME) + _LOG_SELECT
 # from the padded resolution text split on blank lines (parse_pdf_spans).
 # offset = rank among the page's emitted spans (the regex scan index —
 # synth never emits empty href/title items, so no index gaps).
-CRAWL_DOC_SPANS_SQL = _compose(PRELUDE, WAVES, RESTEXT, ITEMS, PDFTEXT) + """
+_DOC_SPANS_SELECT = """
 SELECT c.url AS doc_id,
        CAST(row_number() OVER (PARTITION BY pi.url ORDER BY pi.ord) - 1
             AS INT) AS "offset",
@@ -461,6 +461,27 @@ FROM (
 ) q
 JOIN crawl c2 ON c2.url = q.url
 """
+
+CRAWL_DOC_SPANS_SQL = (
+    _compose(PRELUDE, WAVES, RESTEXT, ITEMS, PDFTEXT) + _DOC_SPANS_SELECT
+)
+
+# Per-document digest of the NESTED spans payload (crawl_documents'
+# list<struct> column reduced to scalar columns): span counts by kind plus
+# an order-insensitive bit_xor of a per-span md5 over every field —
+# value-covers the nested shape the driver's hash can't compare directly.
+CRAWL_DOCUMENTS_DIGEST_SQL = (
+    _compose(PRELUDE, WAVES, RESTEXT, ITEMS, PDFTEXT)
+    + ", spans AS (" + _DOC_SPANS_SELECT + """)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (kind = 'text') AS BIGINT) AS n_text,
+       CAST(count(*) FILTER (kind = 'media') AS BIGINT) AS n_media,
+       bit_xor(md5_number_upper(
+           CAST("offset" AS VARCHAR) || '|' || kind || '|' ||
+           text || '|' || media_ref)) AS span_xor
+FROM spans GROUP BY doc_id
+""")
 
 
 # Per-wave deterministic frontier/fetch counters (the timing columns of the

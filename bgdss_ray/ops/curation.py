@@ -32,17 +32,18 @@ import pyarrow as pa
 
 import ray
 
+from .. import re2pin
 from ..urlnorm import url_hash64
 
-# RE2's \s is exactly ASCII [ \t\n\r\f\v]; python's unicode \s (and
-# str.strip()) also eats NBSP etc. — pin BOTH tokenizer and edge-strip to
-# the ASCII class so engine and DuckDB agree on EVERY input, not just the
-# whitespace-clean corpus
-_WS = re.compile(r"[ \t\n\r\f\v]+")
-_EDGE_WS = re.compile(r"^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$")
-# ASCII-explicit symbol class so python re and DuckDB RE2 agree on every
-# codepoint (\\w would diverge on unicode categories)
-_SYMBOL = re.compile(r"[^A-Za-z0-9\s]")
+# RE2-pinned whitespace/symbol classes (see re2pin): RE2's \s is exactly
+# [ \t\n\f\r] — NO \v, NO NBSP (verified against DuckDB) — while python's
+# unicode \s (and str.strip()) eats both. Pinning tokenizer, edge-strip AND
+# the symbol class keeps engine and DuckDB equal on EVERY input.
+_WS = re2pin.WS_RUN
+_EDGE_WS = re2pin.EDGE_WS
+# explicit ASCII symbol class == RE2's [^A-Za-z0-9\s] (underscore IS a
+# symbol here, unlike re2pin.PUNCT's [^\w\s])
+_SYMBOL = re.compile(rf"[^A-Za-z0-9{re2pin.WS}]")
 
 # Gopher-inspired keep thresholds (arXiv:2112.11446 table A1; values
 # adapted to the synthetic corpus so both branches are exercised)

@@ -32,10 +32,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .. import re2pin
 from ..urlnorm import url_hash64
 
 _MERSENNE = (1 << 61) - 1
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# RE2-pinned \w (ASCII): the minhash/simhash oracles tokenize with DuckDB
+# regexp_extract_all(lower(text), '\w+'), and RE2 \w excludes accented
+# letters that python's unicode \w includes — see re2pin
+_TOKEN_RE = re2pin.WORD_RE
 
 
 # ---------------------------------------------------------------- exact --
@@ -844,7 +848,10 @@ def embedding_neardup_pairs(
     bucket groupby is the only shuffle; plane matrices are broadcast
     (n_tables× banded rows, same as minhash banding)."""
     def stage(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        from .similarity import _list_matrix
+
+        # zero-copy flat-values reshape (no per-row python lists)
+        vecs = _list_matrix(batch.column(vec_col))
         norm = np.linalg.norm(vecs, axis=1)
         ids = batch.column(id_col)
         id_arr = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
@@ -954,9 +961,13 @@ def near_dedup_minhash(ds, threshold: float = 0.8, n_perm=128, n_bands=16,
     comp_ref = ray.put(comp)
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: this stage touches EVERY corpus row — Series.map
+        # against the broadcast keep-map, identity for unmapped ids
         m = ray.get(comp_ref)
         df = df[[id_col]].copy()
-        df["cluster"] = [m.get(i, i) for i in df[id_col]]
+        df["cluster"] = (
+            df[id_col].map(m).fillna(df[id_col]).astype(df[id_col].dtype)
+        )
         return df
 
     return ids_only.map_batches(attach, batch_format="pandas")

@@ -380,6 +380,11 @@ def _list_matrix(la) -> np.ndarray:
     extension (from_pandas datasets)."""
     if isinstance(la, pa.ChunkedArray):
         la = la.combine_chunks()
+    if hasattr(la, "flatten"):
+        # flatten() is offset-aware; .values on a SLICED ListArray returns
+        # the full child buffer ignoring the slice → misaligned matrix
+        return (la.flatten().to_numpy(zero_copy_only=False)
+                .reshape(len(la), -1).astype(np.float64))
     if hasattr(la, "values"):
         return (la.values.to_numpy(zero_copy_only=False)
                 .reshape(len(la), -1).astype(np.float64))

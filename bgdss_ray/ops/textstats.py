@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .. import re2pin
 from ..urlnorm import url_hash64
 
 # distinctive stopwords per language (testdata langs: en es fr de zh)
@@ -27,10 +28,15 @@ _STOPWORDS = {
     "pt": {"o", "a", "os", "as", "de", "que", "e", "em", "um", "uma", "é", "do", "da"},
 }
 _CJK = re.compile(r"[一-鿿]")
-_WORD = re.compile(r"\w+", re.UNICODE)
-# BPE-ish token regex: words, numbers, punctuation runs (GPT-2 style, simplified)
+# RE2-pinned classes (see re2pin): the SQL oracles' \w / \d / [^\w\s] are
+# ASCII under RE2, and python's unicode escapes silently diverge on
+# accented/exotic input — pin the engine to the oracle's semantics
+_WORD = re2pin.WORD_RE
+_DIGIT = re2pin.DIGIT
+# BPE-ish token regex: words, numbers, punctuation runs (GPT-2 style,
+# simplified; engine-only — no SQL pairing — so the unicode classes stay)
 _BPE_ISH = re.compile(r"[A-Za-zÀ-ÿ]+|\d+|[^\sA-Za-zÀ-ÿ\d]+")
-_PUNCT = re.compile(r"[^\w\s]")
+_PUNCT = re2pin.PUNCT
 
 
 class LangId:
@@ -45,7 +51,7 @@ class LangId:
     def __init__(self):
         self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
         self.res = {
-            lang: re.compile(r"\b(" + "|".join(sorted(ws)) + r")\b")
+            lang: re2pin.ascii_word_bounded("|".join(sorted(ws)))
             for lang, ws in _STOPWORDS.items()
         }
 
@@ -86,7 +92,10 @@ def token_stats(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     text = batch.column("text")
-    trimmed = pc.utf8_trim_whitespace(text)
+    # RE2 edge-strip (pyarrow regexes are RE2, like DuckDB's):
+    # utf8_trim_whitespace is a UNICODE trim (eats \v/NBSP) and would
+    # diverge from the oracle's regexp_replace(.., '^\s+|\s+$') on them
+    trimmed = pc.replace_substring_regex(text, r"^\s+|\s+$", "")
     splits = pc.split_pattern_regex(trimmed, r"\s+")
     ws_tokens = pc.list_value_length(splits).cast(pa.int64())
     texts = text.to_pylist()
@@ -109,9 +118,7 @@ class QualityScorer:
 
     def __init__(self):
         self.all_stop = frozenset().union(*_STOPWORDS.values())
-        self.stop_re = re.compile(
-            r"\b(" + "|".join(sorted(self.all_stop)) + r")\b"
-        )
+        self.stop_re = re2pin.ascii_word_bounded("|".join(sorted(self.all_stop)))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch["text"].fillna("")
@@ -122,10 +129,10 @@ class QualityScorer:
         # the stopword alternation counts one hit per stopword token
         n_words_raw = t.str.count(_WORD)
         n_words = n_words_raw.clip(lower=1)
-        n_word_chars = t.str.count(r"\w")
+        n_word_chars = t.str.count(re2pin.WORD_CHAR)
         mean_wlen = (n_word_chars / n_words).where(n_words_raw > 0, 0.0).astype(float)
         punct = t.str.count(_PUNCT)
-        digits = t.str.count(r"\d")
+        digits = t.str.count(_DIGIT)
         upper = t.str.count(r"[A-Z]")
         stop_ratio = (
             t.str.lower().str.count(self.stop_re) / n_words
@@ -176,7 +183,10 @@ def fingerprint_winnow(text: str, k: int = 8, window: int = 4) -> list[int]:
     hashes, rightmost-min per window, deduped consecutive picks. Fully
     vectorized: k vector passes for the rolling hash + one sliding-window
     argmin pass."""
-    s = re.sub(r"\s+", " ", text.lower()).strip()
+    # RE2-pinned \s and space-only strip: the paired oracle is
+    # trim(regexp_replace(lower(text), '\s+', ' ', 'g')) — RE2 \s has no
+    # \v/NBSP, and DuckDB trim() strips spaces only
+    s = re2pin.WS_RUN.sub(" ", text.lower()).strip(" ")
     if not s:
         return []
     if len(s) < k:

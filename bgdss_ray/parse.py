@@ -22,6 +22,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from .re2pin import split_ws
 from .schemas import DOCUMENTS, SPAN_STRUCT
 from .urlnorm import canonicalize
 
@@ -134,7 +135,9 @@ def spanify_flat_documents(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     doc_ids, spans_col = [], []
     for i, t in zip(ids, texts):
-        words = t.split()
+        # RE2-pinned split: str.split() is a unicode-ws split (\v/NBSP)
+        # while the spanify oracle splits on RE2 '\s+'
+        words = split_ws(t)
         spans = []
         off = 0
         for j in range(0, len(words), 12):

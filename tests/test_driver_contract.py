@@ -51,6 +51,24 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _dtype_kind(dt) -> str:
+    """Collapse a dtype to the equivalence class the driver's hash respects:
+    signed/unsigned int widths hash alike after normalization, but int-vs-float
+    (or numeric-vs-object) differ. Nullable pandas ext dtypes map to their
+    numpy kind."""
+    k = getattr(dt, "kind", None)
+    if k is None:  # pandas extension dtype (Int64, boolean, string, ...)
+        s = str(dt).lower()
+        if s.startswith(("int", "uint")):
+            return "i"
+        if s.startswith("float"):
+            return "f"
+        if s.startswith("bool"):
+            return "b"
+        return "O"
+    return {"u": "i", "S": "O", "U": "O"}.get(k, k)
+
+
 def test_sql_paired_queries_match_duckdb(entry_mod, con):
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
@@ -64,6 +82,17 @@ def test_sql_paired_queries_match_duckdb(entry_mod, con):
         if len(got) != len(want):
             failures.append(f"{name}: rows {len(got)} != {len(want)}")
             continue
+        # Dtype parity: the driver's value hash is dtype-sensitive, so an
+        # int64 engine column vs a DOUBLE oracle column is a red hash even
+        # when every value matches (the r3 crawl_log lesson). Assert kind
+        # equality (int vs float vs object vs bool) per column.
+        for c in got.columns:
+            gk, wk = _dtype_kind(got[c].dtype), _dtype_kind(want[c].dtype)
+            if gk != wk:
+                failures.append(
+                    f"{name}: column {c!r} dtype kind {got[c].dtype}({gk}) != "
+                    f"oracle {want[c].dtype}({wk})"
+                )
         try:
             pd.testing.assert_frame_equal(
                 got, want, check_dtype=False, check_exact=False, rtol=0, atol=0

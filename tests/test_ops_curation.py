@@ -176,3 +176,22 @@ def test_curate_corpus_composite(ray_session):
     clones = got[got.doc_id % 13 == 0]
     assert clones.is_canonical.sum() >= 1
     assert (~clones.is_canonical).sum() >= 1
+
+
+def test_curate_corpus_bucket_width_invariance(ray_session):
+    """Bucket granularity is semantics-free: the min-per-text-hash dedup is
+    per-key, so output is identical at any bucket width (the data-derived
+    fan-out can scale without changing results)."""
+    from bgdss_ray.queries import curate_corpus
+
+    a = (
+        curate_corpus("/root/testdata/sf0.001", bucket_bits=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        curate_corpus("/root/testdata/sf0.001", bucket_bits=12)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

@@ -43,9 +43,11 @@ def test_hash64_vector_matches_scalar(texts):
 @given(st.text(max_size=300))
 @settings(max_examples=100, deadline=None)
 def test_winnow_whitespace_invariant(text):
-    import re
+    # the engine's invariance class is RE2's \s ([ \t\n\f\r] — what the
+    # paired DuckDB oracle collapses), NOT python's unicode \s
+    from bgdss_ray.re2pin import WS_RUN
 
-    squeezed = re.sub(r"\s+", " ", text)
+    squeezed = WS_RUN.sub(" ", text)
     assert fingerprint_winnow(text) == fingerprint_winnow(squeezed)
 
 
