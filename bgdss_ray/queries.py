@@ -2053,16 +2053,38 @@ def tfidf_top_terms(sf_dir: str):
     # materialize: the frame feeds BOTH the dfreq groupby and the join —
     # without it Ray re-executes the read+tokenize lineage twice
     tf = ds.map_batches(term_freqs, batch_format="pandas").materialize()
-    # data-derived fan-out for the shuffle stages
-    n_parts = max(8, tf.num_blocks())
-    n_buckets = max(64, tf.num_blocks() * 4)
-    dfreq = tf.groupby("term").count()  # (term, count()) — docs per term
+    # data-derived fan-out for the shuffle stages: sized by ROW COUNT
+    # (free on the materialized frame), not block count — read parallelism
+    # says nothing about shuffle volume. ~500k (doc,term) rows per join
+    # partition and ~100k per top-3 bucket keep per-group frames bounded
+    # by data at any corpus scale while avoiding pure-overhead partitions
+    # on small inputs.
+    n_rows = tf.count()
+    n_parts = max(8, n_rows // 500_000 + 1)
+    n_buckets = max(64, n_rows // 100_000)
+    # (term, count()) — docs per term; num_partitions derives from row
+    # count (1 at bench scale, growing at corpus scale). The default would
+    # inherit the 64 read blocks, and any partition whose hash range
+    # catches no vocabulary emits a SCHEMA-LESS empty block (Ray wart:
+    # empty blocks bypass UDFs and break downstream hash joins).
+    n_agg = max(1, n_rows // 500_000)
+    dfreq = tf.groupby("term", num_partitions=n_agg).count()
 
     def rename_df(t: pa.Table) -> pa.Table:
         return t.rename_columns(["term", "df"])
 
+    # Coalescing repartition scrubs the SCHEMA-LESS empty blocks Ray's
+    # aggregate emits when the vocabulary has fewer groups than partitions
+    # (empty blocks bypass map_batches UDFs, so they can't be typed there;
+    # a join partition fed only such blocks fails with "no match for key
+    # field"). The right side is the slim (term, df) table, so this extra
+    # pass is cheap; k scales with the join fan-out.
+    right = (
+        dfreq.map_batches(rename_df, batch_format="pyarrow")
+        .repartition(max(1, n_parts // 8))
+    )
     joined = tf.join(
-        dfreq.map_batches(rename_df, batch_format="pyarrow"),
+        right,
         join_type="inner",
         num_partitions=n_parts,
         on=("term",),
