@@ -18,6 +18,29 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+def hll_idx_ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) for a uint64 hash array — the HLL update
+    kernel, shared by the flat and grouped sketches. rank = leading zeros
+    of the (64-p)-bit payload + 1, capped at 64-p+1. floor(log2) via
+    float64 can over-round for >53-bit values just below a power of two,
+    so clamp and correct by one exact shift."""
+    h = np.asarray(h, dtype=np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # payload bits, left-aligned
+    nz = rest != 0
+    lz = np.full(len(h), np.uint64(64 - p), dtype=np.uint64)
+    if nz.any():
+        x = rest[nz]
+        with np.errstate(divide="ignore"):
+            fl = np.floor(np.log2(x.astype(np.float64))).astype(np.uint64)
+        fl = np.minimum(fl, np.uint64(63))
+        over = (x >> fl) == 0
+        fl[over] -= np.uint64(1)
+        lz[nz] = np.uint64(63) - fl
+    rank = (np.minimum(lz, np.uint64(64 - p)) + np.uint64(1)).astype(np.uint8)
+    return idx, rank
+
+
 class HllSketch:
     """Dense HyperLogLog over uint64 hashes. p in [4, 18]."""
 
@@ -32,23 +55,7 @@ class HllSketch:
         """Vectorized register update from a uint64 hash array."""
         if not len(h):
             return self
-        h = np.asarray(h, dtype=np.uint64)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = h << np.uint64(self.p)  # top (64-p) payload bits, left-aligned
-        # rank = leading zeros of payload + 1, capped at 64-p+1 (rest == 0).
-        # floor(log2) via float64 can over-round for >53-bit values just
-        # below a power of two, so clamp and correct by one exact shift.
-        nz = rest != 0
-        lz = np.full(len(h), np.uint64(64 - self.p), dtype=np.uint64)
-        if nz.any():
-            x = rest[nz]
-            with np.errstate(divide="ignore"):
-                fl = np.floor(np.log2(x.astype(np.float64))).astype(np.uint64)
-            fl = np.minimum(fl, np.uint64(63))
-            over = (x >> fl) == 0
-            fl[over] -= np.uint64(1)
-            lz[nz] = np.uint64(63) - fl
-        rank = (np.minimum(lz, np.uint64(64 - self.p)) + np.uint64(1)).astype(np.uint8)
+        idx, rank = hll_idx_ranks(h, self.p)
         np.maximum.at(self.registers, idx, rank)
         return self
 
@@ -125,6 +132,78 @@ def hll_distinct(ds, col: str, p: int = 12) -> float:
             other.registers = np.frombuffer(buf, dtype=np.uint8).copy()
             merged.merge(other)
     return merged.estimate()
+
+
+def hll_distinct_by(ds, group_col: str, col: str, p: int = 12) -> pd.DataFrame:
+    """Per-group approximate COUNT(DISTINCT col): one streaming pass emits
+    one register row PER (batch, group) — np.maximum.at over a flattened
+    (groups-in-batch × m) register matrix, no per-group python loop — and
+    the driver merge is elementwise max per group. Partial volume is
+    O(blocks × groups × 4 KiB) regardless of data size: the same
+    mergeable-partial shape as the flat HLL / KMV / moments sketches (the
+    group column is the small side by assumption — event types, languages,
+    sources — NOT a high-cardinality key).
+
+    Returns (group, hll_estimate, exact_distinct, rel_error): the exact
+    count is a distributed two-level groupby (the self-check a production
+    run samples), and every estimate is bit-reproducible by the DuckDB
+    oracle (same integer harmonic fold as HllSketch.estimate)."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _col_hashes(t, col)
+        codes, uniq = pd.factorize(t.column(group_col).to_pandas())
+        regs = np.zeros(len(uniq) * m, dtype=np.uint8)
+        idx, rank = hll_idx_ranks(h, p)
+        np.maximum.at(regs, codes.astype(np.int64) * m + idx, rank)
+        return pa.table(
+            {
+                "grp": pa.array([str(u) for u in uniq]),
+                "registers": pa.array(
+                    [regs[i * m:(i + 1) * m].tobytes() for i in range(len(uniq))],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    merged: dict[str, HllSketch] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for grp, buf in zip(b.column("grp").to_pylist(),
+                            b.column("registers").to_pylist()):
+            sk = merged.setdefault(grp, HllSketch(p))
+            np.maximum(sk.registers, np.frombuffer(buf, dtype=np.uint8),
+                       out=sk.registers)
+
+    # exact per group: distinct pairs first (wide), then count per group
+    from ray.data.aggregate import Count
+
+    pairs = ds.groupby([group_col, col]).aggregate(Count(alias_name="n"))
+    ex = (
+        pairs.map_batches(
+            lambda df: df[[group_col]].assign(one=np.int64(1)),
+            batch_format="pandas",
+        )
+        .groupby(group_col)
+        .aggregate(Count(alias_name="exact"))
+        .to_pandas()
+    )
+    exact = dict(zip(ex[group_col].astype(str), ex["exact"].astype(int)))
+
+    rows = []
+    for grp in sorted(merged):
+        est = merged[grp].estimate()
+        xc = exact.get(grp, 0)
+        rows.append(
+            {
+                "group": grp,
+                "hll_estimate": int(round(est)),
+                "exact_distinct": int(xc),
+                "rel_error": round(abs(est - xc) / max(1, xc), 4),
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def hll_distinct_report(sf_dir: str, specs: list[tuple[str, str]],
@@ -218,3 +297,141 @@ def kmv_quantiles(ds, key_fn, cents_fn, ps, k: int = 2048):
         sk.add(t.column("h").to_numpy(zero_copy_only=False),
                t.column("v").to_numpy(zero_copy_only=False))
     return [(p, sk.quantile(p)) for p in ps]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (two-pass: sketch -> candidates -> verify)
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cols(terms: list[str], row: int) -> np.ndarray:
+    """Column index of each term in sketch row ``row``: md5-64 of
+    'row:term' mod width — DuckDB-reproducible
+    (md5_number_upper(CAST(r AS VARCHAR) || ':' || term) % width)."""
+    from ..urlnorm import url_hash64
+
+    return (url_hash64([f"{row}:{t}" for t in terms])
+            % np.uint64(CMS_WIDTH)).astype(np.int64)
+
+
+def cms_sketch_terms(ds, text_col: str = "text"):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the corpus's
+    token-OCCURRENCE stream. Per-batch partial = one depth×width int64
+    grid (32 KiB), merged on the driver by plain addition — associative,
+    so any combine tree gives identical cells. Hashing is per DISTINCT
+    term per batch (occurrence counts enter via np.add.at weights), not
+    per occurrence."""
+    from .curation import _token_frame
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, toks = _token_frame(t.column(text_col).to_pandas())
+        grid = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        if len(toks):
+            terms, counts = np.unique(toks, return_counts=True)
+            tl = [str(x) for x in terms]
+            for r in range(CMS_DEPTH):
+                np.add.at(grid[r], _cms_cols(tl, r), counts)
+        return pa.table({"grid": pa.array([grid.tobytes()], type=pa.binary())})
+
+    grid = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for buf in b.column("grid").to_pylist():
+            grid += np.frombuffer(buf, dtype=np.int64).reshape(
+                CMS_DEPTH, CMS_WIDTH)
+    return grid
+
+
+def cms_estimate(grid: np.ndarray, terms: list[str]) -> np.ndarray:
+    """CMS point estimate per term: min over rows of the hashed cell.
+    Never underestimates (one-sided error), which is what makes the
+    candidate set a guaranteed superset of the true heavy set."""
+    if not terms:
+        return np.zeros(0, dtype=np.int64)
+    ests = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_DEPTH):
+        np.minimum(ests, grid[r][_cms_cols(terms, r)], out=ests)
+    return ests
+
+
+def cms_heavy_hitters(ds, text_col: str = "text", denom: int = 20
+                      ) -> pd.DataFrame:
+    """Terms whose exact occurrence count >= total_tokens // denom, with
+    their CMS estimates — the classic two-pass heavy-hitter flow at scale:
+
+    1. ONE streaming pass builds the 32 KiB sketch (mergeable partials).
+    2. Candidate generation never groups the token stream: each batch
+       emits its DISTINCT terms (O(blocks x per-block vocab) slim rows),
+       a term-groupby dedups them, and the BROADCAST sketch filters to
+       est >= T. CMS never underestimates, so this is a superset of the
+       true heavy set.
+    3. Exact verify re-counts ONLY the (few) candidates — semi-join
+       against the broadcast candidate set inside map_batches, then a
+       small groupby(term) sum.
+
+    The full-vocabulary exact groupby never happens; the only wide ops
+    are over per-batch-distinct terms and candidate occurrences."""
+    import ray
+
+    from .curation import _token_frame
+
+    grid = cms_sketch_terms(ds, text_col)
+    total = int(grid[0].sum())  # every row sums to the stream length
+    threshold = max(1, total // denom)
+    grid_ref = ray.put(grid)
+
+    def batch_vocab(t: pa.Table) -> pa.Table:
+        _, toks = _token_frame(t.column(text_col).to_pandas())
+        return pa.table({"term": pa.array(
+            [str(x) for x in (np.unique(toks) if len(toks) else [])],
+            type=pa.string())})
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        g = ray.get(grid_ref)
+        terms = df["term"].astype(str).tolist()
+        out = pd.DataFrame({"term": df["term"].astype(str),
+                            "cms_est": cms_estimate(g, terms)})
+        return out[out["cms_est"] >= threshold]
+
+    from ray.data.aggregate import Count
+
+    cand = (
+        ds.map_batches(batch_vocab, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="nb"))
+        .map_batches(lambda df: estimate(df[["term"]]), batch_format="pandas")
+        .to_pandas()
+    )
+    if "term" not in cand.columns or not len(cand):  # zero candidates
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "cms_est": pd.Series([], dtype="int64"),
+                             "exact_count": pd.Series([], dtype="int64")})
+    cand_ref = ray.put(np.sort(cand["term"].to_numpy(dtype=object)))
+
+    def count_cands(t: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)  # sorted candidate array, broadcast once
+        _, toks = _token_frame(t.column(text_col).to_pandas())
+        if len(toks):
+            terms, counts = np.unique(toks, return_counts=True)
+            keep = np.isin(terms, cs)
+            terms, counts = terms[keep], counts[keep]
+        else:
+            terms, counts = np.empty(0, object), np.empty(0, np.int64)
+        return pa.table({"term": pa.array([str(x) for x in terms]),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(count_cands, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="exact_count"))
+        .to_pandas()
+    )
+    out = cand.merge(exact, on="term", how="inner")
+    out = out[out["exact_count"] >= threshold]
+    out["exact_count"] = out["exact_count"].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)

@@ -1,0 +1,99 @@
+"""Windowed / session aggregations over event streams.
+
+Sessionization is the canonical training-data windowing op (user activity
+→ sessions under an idle-gap rule). The distributed shape mirrors
+``curate_corpus``: ONE hash-bucket shuffle co-locates each user's events,
+then the whole bucket sessionizes VECTORIZED — one sort + diff + cumsum
+over the bucket frame. A bucket holds MANY users (the user boundary is
+just another break condition), so the python-call count is O(buckets),
+not O(users) — the per-user ``map_groups`` shape would make 10^9 python
+calls on a 10^9-user stream.
+
+Determinism contract (SQL pairing, same as the ``sessionize`` oracle):
+order within user = (ts, event_id); a session breaks when
+ts - prev_ts > 30 min (strict); session_no is 1-based per user;
+timestamps emitted as whole epoch seconds; money as exact integer cents —
+all sums order-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+_EMPTY = {
+    "user_id": "int64",
+    "session_no": "int64",
+    "n_events": "int64",
+    "session_start": "int64",
+    "session_end": "int64",
+    "sum_value_cents": "int64",
+}
+
+
+def sessionize_bucket(g: pd.DataFrame, gap_us: int = DEFAULT_GAP_US
+                      ) -> pd.DataFrame:
+    """One bucket of users → per-session aggregate rows. Fully vectorized:
+    one sort, one diff, one cumsum, one groupby-agg — regardless of how
+    many users the bucket holds."""
+    if not len(g):
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in _EMPTY.items()})
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    ts_us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    new_user = np.r_[True, uid[1:] != uid[:-1]]
+    gap = np.r_[np.int64(0), ts_us[1:] - ts_us[:-1]]
+    brk = new_user | (gap > gap_us)
+    # session_no restarts at 1 per user: global cumsum of breaks minus the
+    # cumsum value at the user's first row, + 1
+    sid = np.cumsum(brk)
+    first_of_user = np.flatnonzero(new_user)
+    base = np.repeat(sid[first_of_user],
+                     np.diff(np.r_[first_of_user, len(g)]))
+    session_no = (sid - base + 1).astype(np.int64)
+    vc = np.floor(g["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+                  ).astype(np.int64)
+    epoch_s = np.floor_divide(ts_us, 1_000_000)  # whole seconds
+    frame = pd.DataFrame(
+        {
+            "user_id": uid,
+            "session_no": session_no,
+            "epoch": epoch_s,
+            "value_cents": vc,
+        }
+    )
+    out = frame.groupby(["user_id", "session_no"], sort=False).agg(
+        n_events=("epoch", "size"),
+        session_start=("epoch", "min"),
+        session_end=("epoch", "max"),
+        sum_value_cents=("value_cents", "sum"),
+    ).reset_index()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def sessionize_events(ds, gap_us: int = DEFAULT_GAP_US,
+                      n_buckets: int | None = None):
+    """events Dataset → per-session aggregates. One shuffle (user-hash
+    bucket groupby); everything else vectorized inside the bucket."""
+    if n_buckets is None:
+        # data-derived fan-out (same policy as curate/tfidf): per-bucket
+        # frames bounded by data, no pure-overhead groups on small inputs
+        n_buckets = max(32, ds.count() // 100_000)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return df
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: sessionize_bucket(g.drop(columns=["bucket"]), gap_us),
+            batch_format="pandas",
+        )
+    )

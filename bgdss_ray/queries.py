@@ -463,33 +463,17 @@ SELECT query_id, id FROM (
 # --------------------------------------------------------------- q16
 def sessionize(sf_dir: str):
     """Session windows over the events stream: per user, a session is a
-    maximal run with gaps <= 30 min (streaming-shaped op per the guide:
-    partition by key, sort by ts within group, window with pandas).
-    Timestamps are emitted as epoch seconds (int64) so Ray and DuckDB
-    agree bit-exactly."""
+    maximal run with gaps <= 30 min. Distributed shape: ONE user-hash
+    bucket shuffle, then the whole bucket sessionizes vectorized
+    (ops/windows.sessionize_bucket — sort + diff + cumsum over the bucket
+    frame). The former per-user ``map_groups`` made one python call PER
+    USER — O(users) calls on a 10^9-user stream; the bucket shape makes
+    O(buckets). Timestamps are emitted as epoch seconds (int64) so Ray
+    and DuckDB agree bit-exactly."""
+    from .ops.windows import sessionize_events
+
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        session_no = gap.cumsum().astype("int64") + 1
-        g = g.assign(
-            session_no=session_no,
-            value_cents=np.floor(g["value"] * 100 + 0.5).astype("int64"),
-            # floor to whole epoch seconds regardless of the unit pandas
-            # chose for the timestamp column (us from Arrow, ns classic)
-            epoch=g["ts"].astype("datetime64[s]").astype("int64"),
-        )
-        out = g.groupby("session_no").agg(
-            n_events=("event_id", "count"),
-            session_start=("epoch", "min"),
-            session_end=("epoch", "max"),
-            sum_value_cents=("value_cents", "sum"),
-        ).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize_events(ds)
 
 
 SESSIONIZE_SQL = """
@@ -1294,6 +1278,173 @@ HLL_DISTINCT_SQL = (
     )
     + '\nORDER BY "table", "column"'
 )
+
+
+def pagerank_q(sf_dir: str):
+    """PageRank by power iteration (3 rounds) over the bidirectional
+    part↔supplier incidence graph from lineitem — the iterative-algorithm
+    pattern (each round = hash-partitioned edges⋈ranks join + groupby
+    sum, nothing driver-side). SQL-paired BIT-EXACTLY because every step
+    is integer fixed-point: r0 = 10^6, contribution = (r*85)//(100*deg)
+    floor division, rank = 150000 + Σ — integer sums are layout- and
+    join-order-independent, and DuckDB unrolls the same three
+    iterations."""
+    from .ops.graph import lineitem_edges, pagerank
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    return pagerank(lineitem_edges(li), n_iter=3)
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.dst AS node,
+         CAST(150000 + SUM((r.r * 85) // (100 * d.deg)) AS BIGINT) AS r
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM edges),
+{_pr_iter_sql('r0', 'r1')},
+{_pr_iter_sql('r1', 'r2')},
+{_pr_iter_sql('r2', 'r3')}
+SELECT node AS node_id, r AS "rank" FROM r3 ORDER BY node_id
+"""
+
+
+def cms_heavy_hitters_q(sf_dir: str):
+    """Count-Min-sketch heavy hitters over the corpus token stream
+    (Cormode & Muthukrishnan 2005), SQL-paired BIT-EXACTLY: the oracle
+    rebuilds every sketch cell (md5 row hashes mod width, integer sums),
+    takes the same min-over-rows estimate per term, and applies the same
+    exact-count >= total//30 cut. Two streaming passes, no full-vocabulary
+    groupby over occurrences: candidates come from per-batch-DISTINCT
+    terms filtered by the broadcast 32 KiB sketch (CMS never
+    underestimates, so that set provably contains every true heavy
+    hitter), and the exact verify re-counts only candidates."""
+    from .ops.sketches import cms_heavy_hitters
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = cms_heavy_hitters(ds, "text", denom=30)
+    return out[["term", "cms_est", "exact_count"]]
+
+
+CMS_HEAVY_HITTERS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
+  FROM documents
+  WHERE regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') <> ''
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY term
+),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+cells AS (
+  SELECT r.r,
+         CAST(md5_number_upper(CAST(r.r AS VARCHAR) || ':' || c.term) % 1024
+              AS BIGINT) AS col,
+         CAST(SUM(c.exact_count) AS BIGINT) AS cell
+  FROM counts c CROSS JOIN rows_ r
+  GROUP BY r.r, col
+),
+ests AS (
+  SELECT c.term, c.exact_count, CAST(MIN(ce.cell) AS BIGINT) AS cms_est
+  FROM counts c
+  CROSS JOIN rows_ r
+  JOIN cells ce
+    ON ce.r = r.r
+   AND ce.col = CAST(md5_number_upper(CAST(r.r AS VARCHAR) || ':' || c.term)
+                     % 1024 AS BIGINT)
+  GROUP BY c.term, c.exact_count
+)
+SELECT term, cms_est, exact_count
+FROM ests, tot
+WHERE exact_count >= greatest(1, tot.total // 30)
+ORDER BY term
+"""
+
+
+def hll_by_group_q(sf_dir: str):
+    """Per-group HLL distinct (distinct users per event_type): the grouped
+    variant of the hll_distinct gate. Partials are one 4 KiB register row
+    per (batch, group) — O(blocks × groups) egress independent of data
+    volume — merged by elementwise max; the oracle recomputes every
+    group's sketch AND the integer harmonic fold bit-exactly in DuckDB
+    (same scheme as hll_distinct, with the group key carried through the
+    fmix64 chain)."""
+    from .ops.sketches import hll_distinct_by
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct_by(ds, "event_type", "user_id", p=12)
+
+
+def _hll_group_hashes_sql(table: str, group_col: str, col: str) -> str:
+    """fmix64 chain (same constants as _hll_hashes_sql) carrying the group
+    key through every stage."""
+    c1, c2 = "18397679294719823053", "14181476777654086739"
+    return (
+        "SELECT grp, xor(v5, v5 >> 33) AS h FROM ("
+        f"SELECT grp, {_hll_mul_mod64('v4', c2)} AS v5 FROM ("
+        "SELECT grp, xor(v3, v3 >> 33) AS v4 FROM ("
+        f"SELECT grp, {_hll_mul_mod64('v1', c1)} AS v3 FROM ("
+        "SELECT grp, xor(v0, v0 >> 33) AS v1 FROM ("
+        f"SELECT {group_col} AS grp, CAST({col} AS UBIGINT) AS v0 "
+        f"FROM {table})))))"
+    )
+
+
+HLL_BY_GROUP_SQL = f"""
+WITH hashes AS ({_hll_group_hashes_sql('events', 'event_type', 'user_id')}),
+regs AS (
+  SELECT grp, idx, MAX(rank) AS rank FROM (
+    SELECT grp, CAST(h >> 52 AS BIGINT) AS idx,
+           CASE WHEN (h % 4503599627370496) = 0 THEN 53
+                ELSE least(64 - length(bin((h % 4503599627370496) * 4096)), 52) + 1
+           END AS rank
+    FROM hashes
+  ) GROUP BY grp, idx
+),
+folds AS (
+  SELECT grp,
+         coalesce(SUM(CAST((CAST(1 AS UBIGINT) << (63 - rank)) AS HUGEINT)), 0)
+           + (4096 - COUNT(*)) * CAST('9223372036854775808' AS HUGEINT) AS s,
+         4096 - COUNT(*) AS zeros
+  FROM regs GROUP BY grp
+),
+ests AS (
+  SELECT grp,
+         CASE WHEN e <= 10240.0 AND zeros > 0
+              THEN 4096.0 * ln(4096.0 / zeros) ELSE e END AS est
+  FROM (
+    SELECT grp, zeros,
+           (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+           (CAST(s AS DOUBLE) / 9223372036854775808.0) AS e
+    FROM folds
+  )
+),
+exacts AS (
+  SELECT event_type AS grp, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+  FROM events GROUP BY 1
+)
+SELECT e.grp AS "group",
+       CAST(round(s.est) AS BIGINT) AS hll_estimate,
+       e.exact AS exact_distinct,
+       round(abs(s.est - e.exact) / greatest(1, e.exact), 4) AS rel_error
+FROM ests s JOIN exacts e ON e.grp = s.grp
+ORDER BY "group"
+"""
 
 
 # --------------------------------------------------------------- q36
@@ -2499,6 +2650,9 @@ SQL_PAIRED = {
     "dedup_simhash": (simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_minhash": (minhash_clusters, MINHASH_CLUSTERS_SQL),
     "hll_distinct": (hll_distinct_q, HLL_DISTINCT_SQL),
+    "hll_by_group": (hll_by_group_q, HLL_BY_GROUP_SQL),
+    "cms_heavy_hitters": (cms_heavy_hitters_q, CMS_HEAVY_HITTERS_SQL),
+    "pagerank": (pagerank_q, PAGERANK_SQL),
     "fingerprints": (fingerprints_q, FINGERPRINTS_SQL),
     "dedup_embedding": (dedup_embedding_q, DEDUP_EMBEDDING_SQL),
     "multimodal_decode": (multimodal_decode_q, MULTIMODAL_DECODE_SQL),

@@ -1,0 +1,110 @@
+"""Sessionization (bucketed), grouped HLL, CMS heavy hitters, PageRank —
+algebraic/layout-invariance properties beyond the SQL-oracle gate."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_sessionize_bucket_width_invariance(ray_session):
+    """Bucket fan-out is semantics-free: sessions are per-user, so any
+    user-hash bucket width gives the identical session table."""
+    from bgdss_ray.ops.windows import sessionize_events
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    a = _sorted(sessionize_events(ds, n_buckets=4).to_pandas())
+    b = _sorted(sessionize_events(ds, n_buckets=64).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0 and (a["n_events"] >= 1).all()
+    assert (a["session_end"] >= a["session_start"]).all()
+
+
+def test_sessionize_gap_rule():
+    """Synthetic micro-case: gaps strictly over 30 min break sessions,
+    exactly 30 min does not; ties order by event_id."""
+    from bgdss_ray.ops.windows import sessionize_bucket
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = lambda m: t0 + np.timedelta64(m * 60_000_000, "us")
+    g = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 7, 7, 9],
+            "ts": [mins(0), mins(30), mins(61), mins(200), mins(0)],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = sessionize_bucket(g).sort_values(
+        ["user_id", "session_no"]).reset_index(drop=True)
+    # user 7: [0,30] one session (gap == 30min not >), then 61 (gap 31min
+    # > 30 → new), then 200 (gap 139min → new); user 9: one session
+    assert out[out.user_id == 7]["n_events"].tolist() == [2, 1, 1]
+    assert out[out.user_id == 9]["n_events"].tolist() == [1]
+    assert out[out.user_id == 7]["session_no"].tolist() == [1, 2, 3]
+
+
+def test_hll_by_group_matches_flat_per_group(ray_session):
+    """The grouped sketch must equal running the FLAT sketch on each
+    group's filtered stream — the grouping changes layout, not algebra."""
+    from bgdss_ray.ops.sketches import hll_distinct, hll_distinct_by
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    grouped = hll_distinct_by(ds, "event_type", "user_id", p=12)
+    for _, row in grouped.iterrows():
+        flat = hll_distinct(
+            ds.filter(expr=f"event_type == '{row['group']}'"),
+            "user_id", p=12)
+        assert int(round(flat)) == row["hll_estimate"], row["group"]
+
+
+def test_cms_never_underestimates_and_superset(ray_session):
+    from bgdss_ray.ops.sketches import (cms_estimate, cms_heavy_hitters,
+                                        cms_sketch_terms)
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    grid = cms_sketch_terms(ds, "text")
+    # exact counts via pandas (tiny corpus)
+    import re
+
+    texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    toks = []
+    for t in texts["text"]:
+        s = re.sub(r"^[ \t\n\f\r]+|[ \t\n\f\r]+$", "", t or "")
+        if s:
+            toks.extend(re.split(r"[ \t\n\f\r]+", s))
+    exact = pd.Series(toks).value_counts()
+    ests = cms_estimate(grid, exact.index.tolist())
+    assert (ests >= exact.to_numpy()).all()  # one-sided error
+    assert int(grid[0].sum()) == len(toks)  # every row sums to the stream
+    hh = cms_heavy_hitters(ds, "text", denom=30)
+    t = max(1, len(toks) // 30)
+    want = set(exact[exact >= t].index)
+    assert set(hh["term"]) == want
+    assert (hh["exact_count"].to_numpy()
+            == exact[hh["term"]].to_numpy()).all()
+
+
+def test_pagerank_mass_and_parallelism_invariance(ray_session):
+    from bgdss_ray.ops.graph import BASE, SCALE, lineitem_edges, pagerank
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    edges = lineitem_edges(li).materialize()
+    a = _sorted(pagerank(edges, n_iter=3, num_partitions=4).to_pandas())
+    b = _sorted(pagerank(edges, n_iter=3, num_partitions=16).to_pandas())
+    pd.testing.assert_frame_equal(a, b)  # integer arithmetic: bit-equal
+    n = len(a)
+    # damped mass conservation (floor losses only shrink): total rank in
+    # (N·BASE, N·SCALE]; every rank >= BASE + floor contribution >= BASE
+    assert n > 0 and (a["rank"] >= BASE).all()
+    assert n * BASE < a["rank"].sum() <= n * SCALE
