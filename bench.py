@@ -96,6 +96,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("fingerprints", P.fingerprint_pipeline),
         ("curate_corpus", SQL_PAIRED["curate_corpus"][0]),
         ("tfidf_top_terms", SQL_PAIRED["tfidf_top_terms"][0]),
+        ("sessionize", SQL_PAIRED["sessionize"][0]),
+        ("pagerank", SQL_PAIRED["pagerank"][0]),
+        ("cms_heavy_hitters", SQL_PAIRED["cms_heavy_hitters"][0]),
     ]
     times: dict[str, float] = {}
     for name, fn in suite:

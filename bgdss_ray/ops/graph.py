@@ -1,23 +1,40 @@
 """Iterative graph algorithms on Ray Data: PageRank by power iteration.
 
 The web-crawl companion op (rank frontier hosts/pages by link structure).
-Each iteration is the classic pair of wide ops — contributions =
-edges ⋈ ranks on src (hash-partitioned ``Dataset.join``, both sides
-large), then a groupby(dst) sum — so the whole algorithm is K·(join +
-groupby) shuffles with nothing ever collected to the driver; ranks are
-materialized per iteration (the next iteration reads them twice:
-join probe + node carry).
+Each iteration joins ranks into edges on src — but NOT via
+``Dataset.join``: this Ray version's hash-join operator carries ~15 s of
+fixed actor-pool setup per call, which at 3 iterations dominated wall
+time 20×. Instead we use the repo's tag-union co-group pattern
+(``ops/joins.py``), folded one step further:
+
+- Edges are bucketed by ``hash(src)`` ONCE and materialized — the bucket
+  key never changes, so the big side is shuffled exactly once per run
+  and reused by every iteration's union.
+- Because bucket is a pure function of the node id, a node's FULL
+  out-edge set lands in one group — outdeg is the in-group edge count,
+  so no degree table or degree join exists at all.
+- A node's rank is represented as BASE + Σ(partial contribution rows)
+  rather than a materialized total: each iteration's co-group emits its
+  in-bucket partial sums keyed by ``bucket(dst)``, and the NEXT
+  iteration's ``groupby(bucket)`` is what combines them (the rank-sum
+  and the edge co-location ride the same shuffle). An iteration is
+  therefore ONE groupby — no separate ``groupby(dst).sum`` — and the
+  whole run is K+1 all-to-all ops executed as a single streaming
+  pipeline (nothing driver-side, no intermediate materialize; only the
+  reused edge side is pinned).
 
 Determinism contract (SQL pairing): ALL arithmetic is integer fixed-point
 — r0 = 10^6 per node, contribution = (r·85) // (100·outdeg) (floor
 division of positive ints), new rank = 150000 + Σ contributions. Integer
-sums are order-independent, so block layout / join order cannot flip a
-single bit, and DuckDB replays K unrolled iterations exactly.
+sums are order-independent, so block layout / bucket width / partial-sum
+routing cannot flip a single bit, and DuckDB replays K unrolled
+iterations exactly.
 
 Graph construction here: the bipartite part↔supplier incidence from
 lineitem (DISTINCT pairs), made bidirectional; node id = 2·partkey /
 2·suppkey+1. Every node therefore has outdeg ≥ 1 and indeg ≥ 1 — no
-dangling-mass term needed.
+dangling-mass term needed. Node ids are non-negative; ``dst = -1`` is
+the rank-partial sentinel inside the unioned schema (b, src, dst, r).
 """
 
 from __future__ import annotations
@@ -30,68 +47,103 @@ SCALE = 1_000_000
 BASE = 150_000  # 15% of SCALE — the damping teleport share
 
 
-def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
-    """edges: Dataset[(src: int64, dst: int64)], assumed deduplicated and
-    with every src having outdeg >= 1. Returns Dataset[(node_id, rank)]
-    after ``n_iter`` integer power iterations."""
-    from ray.data.aggregate import Count, Sum
+def _bucket_i64(v: np.ndarray, n_buckets: int) -> np.ndarray:
+    """fmix64 spread of int node ids → bucket (same mixer as ops/joins)."""
+    h = v.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+    return (h % np.uint64(n_buckets)).astype(np.int32)
 
+
+def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
+    """edges: Dataset[(src: int64, dst: int64)], assumed deduplicated,
+    node ids >= 0, every src with outdeg >= 1. Returns
+    Dataset[(node_id, rank)] after ``n_iter`` integer power iterations."""
     if num_partitions is None:
         num_partitions = max(8, edges.count() // 500_000 + 1)
+    nb = num_partitions
 
-    deg = (
-        edges.groupby("src", num_partitions=num_partitions)
-        .aggregate(Count(alias_name="deg"))
-    )
-    edeg = edges.join(
-        deg, join_type="inner", num_partitions=num_partitions, on=("src",)
-    ).materialize()  # reused every iteration
-
-    def init_ranks(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": t.column("src"),
-                "r": pa.array(
-                    np.full(t.num_rows, SCALE, dtype=np.int64)),
-            }
+    def tag_edges(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_bucket_i64(src, nb)),
+                pa.array(src),
+                t.column("dst").cast(pa.int64()),
+                pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            ],
+            names=["b", "src", "dst", "r"],
         )
 
-    ranks = deg.map_batches(
-        lambda t: init_ranks(t.select(["src"])), batch_format="pyarrow"
-    ).materialize()
+    # Bucketed once, reused by every iteration's union.
+    edges_b = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
 
-    def contrib(df: pd.DataFrame) -> pd.DataFrame:
-        c = (df["r"].to_numpy(dtype=np.int64) * 85) // (
-            100 * df["deg"].to_numpy(dtype=np.int64)
+    def step(g: pd.DataFrame, first: bool) -> pd.DataFrame:
+        """One bucket's work for one iteration: fold rank partials,
+        compute per-edge contributions, emit partial sums routed to
+        bucket(dst) for the next iteration's shuffle to combine."""
+        is_part = g["dst"].to_numpy() == -1
+        e = g.loc[~is_part, ["src", "dst"]].copy()
+        if e.empty:  # arrow return keeps union block types uniform
+            return pa.Table.from_arrays(
+                [pa.array([], type=t) for t in
+                 (pa.int32(), pa.int64(), pa.int64(), pa.int64())],
+                names=["b", "src", "dst", "r"],
+            )
+        e["deg"] = e.groupby("src", sort=False)["dst"].transform("size")
+        if first:
+            m = e
+            rank = np.full(len(m), SCALE, dtype=np.int64)
+        else:
+            rk = (
+                g.loc[is_part, ["src", "r"]]
+                .groupby("src", sort=False, as_index=False)["r"]
+                .sum()
+            )
+            rk["r"] = rk["r"].to_numpy(dtype=np.int64) + BASE
+            m = e.merge(rk, on="src", how="inner", sort=False)
+            rank = m["r"].to_numpy(dtype=np.int64)
+        c = (rank * 85) // (100 * m["deg"].to_numpy(dtype=np.int64))
+        part = (
+            pd.DataFrame({"dst": m["dst"].to_numpy(dtype=np.int64), "c": c})
+            .groupby("dst", sort=False, as_index=False)["c"]
+            .sum()  # in-bucket combiner: shuffle moves O(buckets×dst) rows
         )
-        return pd.DataFrame({"dst": df["dst"], "c": c})
+        out_node = part["dst"].to_numpy(dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_bucket_i64(out_node, nb)),
+                pa.array(out_node),
+                pa.array(np.full(len(out_node), -1, dtype=np.int64)),
+                pa.array(part["c"].to_numpy(dtype=np.int64)),
+            ],
+            names=["b", "src", "dst", "r"],
+        )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def fold_final(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["dst"].to_numpy() == -1]
+        rk = p.groupby("src", sort=False, as_index=False)["r"].sum()
         return pd.DataFrame(
             {
-                "src": df["dst"],
-                "r": (BASE + df["c"].to_numpy(dtype=np.int64)).astype(
-                    np.int64),
+                "node_id": rk["src"].to_numpy(dtype=np.int64),
+                "rank": rk["r"].to_numpy(dtype=np.int64) + BASE,
             }
         )
 
-    for _ in range(n_iter):
-        ranks = (
-            edeg.join(ranks, join_type="inner",
-                      num_partitions=num_partitions, on=("src",))
-            .map_batches(contrib, batch_format="pandas")
-            .groupby("dst", num_partitions=num_partitions)
-            .aggregate(Sum("c", alias_name="c"))
-            .map_batches(finish, batch_format="pandas")
-            .materialize()
+    parts = None
+    for i in range(n_iter):
+        cur = edges_b if parts is None else edges_b.union(parts)
+        first = i == 0
+        parts = cur.groupby("b").map_groups(
+            lambda g, _f=first: step(g, _f), batch_format="pandas"
         )
 
-    return ranks.map_batches(
-        lambda df: pd.DataFrame(
-            {"node_id": df["src"].astype("int64"),
-             "rank": df["r"].astype("int64")}),
-        batch_format="pandas",
-    )
+    # Final fold: partials → (node_id, rank); same bucket shuffle combines
+    # contributions from every producing bucket. Lazy end-to-end — the
+    # consumer's execution streams all K+1 shuffles as one pipeline.
+    return parts.groupby("b").map_groups(fold_final, batch_format="pandas")
 
 
 def lineitem_edges(ds):
