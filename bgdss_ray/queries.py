@@ -1283,11 +1283,13 @@ HLL_DISTINCT_SQL = (
 def pagerank_q(sf_dir: str):
     """PageRank by power iteration (3 rounds) over the bidirectional
     part↔supplier incidence graph from lineitem — the iterative-algorithm
-    pattern (each round = hash-partitioned edges⋈ranks join + groupby
-    sum, nothing driver-side). SQL-paired BIT-EXACTLY because every step
+    pattern (each round = ONE groupby(bucket) co-group: edges bucketed by
+    src once and reused, rank partials routed to bucket(dst) so the next
+    round's shuffle combines them; no Dataset.join, nothing driver-side;
+    see ops/graph.py). SQL-paired BIT-EXACTLY because every step
     is integer fixed-point: r0 = 10^6, contribution = (r*85)//(100*deg)
     floor division, rank = 150000 + Σ — integer sums are layout- and
-    join-order-independent, and DuckDB unrolls the same three
+    routing-independent, and DuckDB unrolls the same three
     iterations."""
     from .ops.graph import lineitem_edges, pagerank
 
@@ -2353,6 +2355,75 @@ GROUP BY label, jj.j
 """
 
 
+def kmeans_q(sf_dir: str):
+    """Distributed k-means (Lloyd's, k=8, 3 iterations) over the
+    embedding table — the small-model iterative-ML pattern: centroids
+    broadcast via ray.put, every iteration ONE streaming map_batches pass
+    emitting O(k·d) integer partials, vectors never shuffled, driver fold
+    is O(blocks·k·d). SQL-paired BIT-EXACTLY: vectors offset-quantized
+    floor(x·2^20)+2^21 (non-negative, so the centroid update sum//n is
+    plain truncating division on both sides), squared-distance argmin
+    ties break to the lowest cluster id (row_number OVER (ORDER BY dist,
+    cid)), seeds are the k smallest vec_ids, and DuckDB unrolls the same
+    three assignment+update rounds (ops/clustering.py)."""
+    from .ops.clustering import kmeans
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans(ds, k=8, n_iter=3)
+
+
+def _kmeans_iter_sql(prev: str, assign: str, out: str) -> str:
+    return f"""{assign} AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY SUM((q.qv - c.v) * (q.qv - c.v)), c.cid) AS rn
+    FROM q JOIN {prev} c ON c.j = q.j
+    GROUP BY q.vec_id, c.cid
+  ) WHERE rn = 1
+),
+{out} AS (
+  SELECT a.cid, q.j,
+         CAST(SUM(q.qv) // COUNT(*) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {assign} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY a.cid, q.j
+)"""
+
+
+KMEANS_SQL = (
+    """
+WITH q AS (
+  SELECT vec_id, CAST(jj.j - 1 AS INT) AS j,
+         CAST(floor(CAST(embedding[jj.j] AS DOUBLE) * 1048576) AS BIGINT)
+           + 2097152 AS qv
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(
+         1, (SELECT max(len(embedding)) FROM embeddings))) AS j) jj
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+c0 AS (
+  SELECT s.cid, q.j, q.qv AS v FROM seeds s JOIN q ON q.vec_id = s.vec_id
+),
+"""
+    + _kmeans_iter_sql("c0", "a1", "c1")
+    + ",\n"
+    + _kmeans_iter_sql("c1", "a2", "c2")
+    + ",\n"
+    + _kmeans_iter_sql("c2", "a3", "c3")
+    + """
+SELECT CAST(cid AS BIGINT) AS cid, CAST(j AS INT) AS j,
+       CAST(v AS BIGINT) AS c, CAST(n AS BIGINT) AS n
+FROM c3
+ORDER BY cid, j
+"""
+)
+
+
 def curate_corpus(sf_dir: str, bucket_bits: int | None = None):
     """End-to-end corpus curation: one augmented corpus (deterministic
     clone + repetition planting so every leg has live work) flows through
@@ -2679,4 +2750,5 @@ SQL_PAIRED = {
         crawl_priority_wave_counts_q, _crawl_oracle.PRIORITY_WAVE_COUNTS_SQL
     ),
     "label_centroids": (label_centroids_q, LABEL_CENTROIDS_SQL),
+    "kmeans": (kmeans_q, KMEANS_SQL),
 }

@@ -108,3 +108,43 @@ def test_pagerank_mass_and_parallelism_invariance(ray_session):
     # (N·BASE, N·SCALE]; every rank >= BASE + floor contribution >= BASE
     assert n > 0 and (a["rank"] >= BASE).all()
     assert n * BASE < a["rank"].sum() <= n * SCALE
+
+
+def test_kmeans_matches_direct_lloyd_and_layout_invariance(ray_session):
+    """Engine k-means == a direct single-process numpy Lloyd's run with
+    the same integer contract, bit-exactly; block layout is irrelevant."""
+    from bgdss_ray.ops.clustering import OFFSET, QUANT, kmeans
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    k, n_iter = 8, 3
+    a = _sorted(kmeans(ds, k=k, n_iter=n_iter).to_pandas())
+    b = _sorted(
+        kmeans(ds.repartition(7), k=k, n_iter=n_iter).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    # direct reference: same quantization, seeds, tie-break, update
+    df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.floor(
+        np.asarray(df["embedding"].tolist(), dtype=np.float64) * QUANT
+    ).astype(np.int64) + OFFSET
+    C = X[:k].copy()
+    cids = np.arange(k)
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = cids[np.argmin(d2, axis=1)]
+        live = np.unique(assign)
+        C = np.stack([X[assign == c].sum(axis=0) // (assign == c).sum()
+                      for c in live])
+        cids = live
+    d = X.shape[1]
+    want = _sorted(pd.DataFrame({
+        "cid": np.repeat(cids, d).astype(np.int64),
+        "j": np.tile(np.arange(d, dtype=np.int32), len(cids)),
+        "c": C.ravel().astype(np.int64),
+        "n": np.repeat(
+            np.asarray([(assign == c).sum() for c in cids]), d
+        ).astype(np.int64),
+    }))
+    pd.testing.assert_frame_equal(a, want)
