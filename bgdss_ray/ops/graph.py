@@ -58,11 +58,15 @@ def _bucket_i64(v: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
-    """edges: Dataset[(src: int64, dst: int64)], assumed deduplicated,
+    """edges: Dataset[(src: int64, dst: int64)] — duplicate rows allowed
+    (exact-deduped in-bucket, where every copy of a pair co-locates);
     node ids >= 0, every src with outdeg >= 1. Returns
     Dataset[(node_id, rank)] after ``n_iter`` integer power iterations."""
     if num_partitions is None:
-        num_partitions = max(8, edges.count() // 500_000 + 1)
+        # pin upstream lineage ONCE — count() would otherwise execute it
+        # and tag_edges' materialize would execute it a second time
+        edges = edges.materialize()
+        num_partitions = max(32, edges.count() // 250_000 + 1)
     nb = num_partitions
 
     def tag_edges(t: pa.Table) -> pa.Table:
@@ -85,7 +89,10 @@ def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
         compute per-edge contributions, emit partial sums routed to
         bucket(dst) for the next iteration's shuffle to combine."""
         is_part = g["dst"].to_numpy() == -1
-        e = g.loc[~is_part, ["src", "dst"]].copy()
+        # exact dedup rides the mandatory shuffle: every copy of an
+        # (src, dst) pair shares bucket(src), so in-group drop_duplicates
+        # IS the global DISTINCT — no separate dedup groupby exists.
+        e = g.loc[~is_part, ["src", "dst"]].drop_duplicates()
         if e.empty:  # arrow return keeps union block types uniform
             return pa.Table.from_arrays(
                 [pa.array([], type=t) for t in
@@ -148,15 +155,14 @@ def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
 
 def lineitem_edges(ds):
     """lineitem → bidirectional bipartite part↔supplier edge Dataset:
-    DISTINCT (partkey, suppkey) via a distributed groupby, then both
-    directions with disjoint node ids (2k / 2k+1)."""
-    from ray.data.aggregate import Count
-
-    pairs = ds.groupby(["l_partkey", "l_suppkey"]).aggregate(
-        Count(alias_name="n")
-    )
+    both directions with disjoint node ids (2k / 2k+1), locally deduped
+    per batch (map-only — NO global DISTINCT groupby: pagerank's bucket
+    co-group already co-locates every copy of a pair, so the exact dedup
+    happens in-group there for free; a global dedup shuffle here would
+    move the same rows one extra time)."""
 
     def both_ways(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_partkey", "l_suppkey"])
         p = df["l_partkey"].to_numpy(dtype=np.int64) * 2
         s = df["l_suppkey"].to_numpy(dtype=np.int64) * 2 + 1
         return pd.DataFrame(
@@ -166,4 +172,4 @@ def lineitem_edges(ds):
             }
         )
 
-    return pairs.map_batches(both_ways, batch_format="pandas")
+    return ds.map_batches(both_ways, batch_format="pandas")
