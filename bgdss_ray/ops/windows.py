@@ -97,3 +97,83 @@ def sessionize_events(ds, gap_us: int = DEFAULT_GAP_US,
             batch_format="pandas",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregates
+# ---------------------------------------------------------------------------
+WINDOW_US = 3_600_000_000  # 1 h window
+STRIDE_US = 900_000_000    # 15 min stride
+
+
+def sliding_window_agg(ds, window_us: int = WINDOW_US,
+                       stride_us: int = STRIDE_US):
+    """Sliding-window event aggregates (count / value-cents sum /
+    purchase count per [w, w+window) window, stride-aligned).
+
+    Distributed shape: with window = k·stride every event belongs to
+    EXACTLY k windows — (t mod stride) + i·stride < k·stride holds for
+    all i in [0, k) — so the map side explodes each batch into its k
+    window assignments AND pre-aggregates them per window (the combiner):
+    the global ``groupby(window)`` shuffle moves O(blocks × windows)
+    partial rows, never O(k × events). All measures are order-independent
+    integer sums (cents via the repo-wide floor(v·100+0.5) contract), so
+    block layout can't flip a bit and DuckDB replays the explode+group
+    exactly.
+    """
+    if window_us % stride_us:
+        raise ValueError("window must be a multiple of stride")
+    k = window_us // stride_us
+
+    def partial(t) -> pd.DataFrame:
+        ts_us = t.column("ts").cast("int64").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        purch = (
+            t.column("event_type").to_numpy(zero_copy_only=False)
+            == "purchase"
+        ).astype(np.int64)
+        base = ts_us // stride_us
+        w = ((np.repeat(base, k).reshape(-1, k)
+              - np.arange(k, dtype=np.int64)) * stride_us).ravel()
+        f = pd.DataFrame(
+            {
+                "w_us": w,
+                "cents": np.repeat(cents, k),
+                "purch": np.repeat(purch, k),
+            }
+        )
+        out = f.groupby("w_us", sort=False).agg(
+            n_events=("cents", "size"),
+            sum_value_cents=("cents", "sum"),
+            n_purchases=("purch", "sum"),
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w_us")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Sum("n_purchases", alias_name="n_purchases"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": (
+                    df["w_us"].to_numpy(dtype=np.int64) // 1_000_000
+                ),
+                "n_events": df["n_events"].astype("int64"),
+                "sum_value_cents": df["sum_value_cents"].astype("int64"),
+                "n_purchases": df["n_purchases"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

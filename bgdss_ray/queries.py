@@ -2424,6 +2424,38 @@ ORDER BY cid, j
 )
 
 
+def sliding_windows_q(sf_dir: str):
+    """Sliding-window aggregates over events (1 h window, 15 min stride):
+    every event belongs to exactly window/stride = 4 windows; the map
+    side explodes AND pre-aggregates per window (combiner), so the one
+    groupby shuffle moves O(blocks × windows) rows, never O(4 × events).
+    All measures are order-independent integer sums → SQL replays the
+    explode+group bit-exactly (ops/windows.py sliding_window_agg)."""
+    from .ops.windows import sliding_window_agg
+
+    ds = _pq(sf_dir, "events", ["ts", "value", "event_type"])
+    return sliding_window_agg(ds)
+
+
+SLIDING_WINDOWS_SQL = r"""
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_type
+  FROM events
+), x AS (
+  SELECT ((t_us // 900000000) - k.k) * 900000000 AS w_us, cents, event_type
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT CAST(w_us // 1000000 AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM x GROUP BY w_us ORDER BY window_start
+"""
+
+
 def curate_corpus(sf_dir: str, bucket_bits: int | None = None):
     """End-to-end corpus curation: one augmented corpus (deterministic
     clone + repetition planting so every leg has live work) flows through
@@ -2751,4 +2783,5 @@ SQL_PAIRED = {
     ),
     "label_centroids": (label_centroids_q, LABEL_CENTROIDS_SQL),
     "kmeans": (kmeans_q, KMEANS_SQL),
+    "sliding_windows": (sliding_windows_q, SLIDING_WINDOWS_SQL),
 }

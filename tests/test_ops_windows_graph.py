@@ -148,3 +148,28 @@ def test_kmeans_matches_direct_lloyd_and_layout_invariance(ray_session):
         ).astype(np.int64),
     }))
     pd.testing.assert_frame_equal(a, want)
+
+
+def test_sliding_windows_mass_and_layout_invariance(ray_session):
+    """Every event lands in exactly window/stride windows, so total
+    n_events == 4 x input rows; block layout is irrelevant (integer
+    sums); each window's count equals the brute-force containment
+    count."""
+    from bgdss_ray.ops.windows import STRIDE_US, WINDOW_US, sliding_window_agg
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "value", "event_type"])
+    a = _sorted(sliding_window_agg(ds).to_pandas())
+    b = _sorted(sliding_window_agg(ds.repartition(5)).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    n_rows = ds.count()
+    assert a["n_events"].sum() == (WINDOW_US // STRIDE_US) * n_rows
+
+    ts_us = (rd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+             .to_pandas()["ts"].to_numpy(dtype="datetime64[us]")
+             .astype(np.int64))
+    for w in a["window_start"].to_numpy()[:5]:
+        w_us = int(w) * 1_000_000
+        want = int(((ts_us >= w_us) & (ts_us < w_us + WINDOW_US)).sum())
+        got = int(a.loc[a["window_start"] == w, "n_events"].iloc[0])
+        assert got == want
