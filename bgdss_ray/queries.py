@@ -2456,6 +2456,78 @@ FROM x GROUP BY w_us ORDER BY window_start
 """
 
 
+def minmax_normalize_q(sf_dir: str):
+    """Per-group min-max feature scaling (events.value per event_type) to
+    an exact integer grid — the two-pass normalization pattern: pass 1 is
+    a tiny groupby(min,max) whose result (one row per group) is broadcast
+    via ray.put; pass 2 is a single streaming map computing
+    scaled = (cents - min) * 10^6 // (max - min) with pure integer floor
+    division, so the result is layout-independent and DuckDB replays it
+    bit-exactly. Constant groups (max == min) scale to 0."""
+    import ray as _ray
+    from ray.data.aggregate import Max, Min
+
+    ev = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "cents": pa.array(c),
+            }
+        )
+
+    base = ev.map_batches(cents_col, batch_format="pyarrow").materialize()
+    mm = {
+        r["event_type"]: (int(r["lo"]), int(r["hi"]))
+        for r in base.groupby("event_type")
+        .aggregate(Min("cents", alias_name="lo"), Max("cents", alias_name="hi"))
+        .take_all()
+    }
+    ref = _ray.put(mm)
+
+    def scale(t: pa.Table, _ref=ref) -> pa.Table:
+        m = _ray.get(_ref)
+        et = pd.Series(t.column("event_type").to_pandas())
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        lo = et.map({k: v[0] for k, v in m.items()}).to_numpy(dtype=np.int64)
+        hi = et.map({k: v[1] for k, v in m.items()}).to_numpy(dtype=np.int64)
+        span = hi - lo
+        scaled = np.where(
+            span > 0, (c - lo) * 1_000_000 // np.maximum(span, 1), 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "scaled": pa.array(scaled),
+            }
+        )
+
+    return base.map_batches(scale, batch_format="pyarrow")
+
+
+MINMAX_NORMALIZE_SQL = r"""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), mm AS (
+  SELECT event_type, min(cents) AS lo, max(cents) AS hi
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type,
+       CAST(CASE WHEN mm.hi > mm.lo
+                 THEN ((c.cents - mm.lo) * 1000000) // (mm.hi - mm.lo)
+                 ELSE 0 END AS BIGINT) AS scaled
+FROM c JOIN mm USING (event_type)
+"""
+
+
 def curate_corpus(sf_dir: str, bucket_bits: int | None = None):
     """End-to-end corpus curation: one augmented corpus (deterministic
     clone + repetition planting so every leg has live work) flows through
@@ -2784,4 +2856,5 @@ SQL_PAIRED = {
     "label_centroids": (label_centroids_q, LABEL_CENTROIDS_SQL),
     "kmeans": (kmeans_q, KMEANS_SQL),
     "sliding_windows": (sliding_windows_q, SLIDING_WINDOWS_SQL),
+    "minmax_normalize": (minmax_normalize_q, MINMAX_NORMALIZE_SQL),
 }
