@@ -435,3 +435,57 @@ def cms_heavy_hitters(ds, text_col: str = "text", denom: int = 20
     out = out[out["exact_count"] >= threshold]
     out["exact_count"] = out["exact_count"].astype("int64")
     return out.sort_values("term").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (build / probe) + bloom-accelerated anti-join
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 4096  # sized for the demo corpus; scale ~10 bits/key in prod
+BLOOM_K = 2
+
+
+def _bloom_pos(keys: list[str], i: int) -> np.ndarray:
+    """Bit position of each key under hash row ``i`` — md5-64 of
+    'i:key' mod BLOOM_BITS, DuckDB-reproducible
+    (md5_number_upper(CAST(i AS VARCHAR) || ':' || key) % bits), the
+    same salt-prefix idiom as the CMS sketch."""
+    from ..urlnorm import url_hash64
+
+    return (url_hash64([f"{i}:{k}" for k in keys])
+            % np.uint64(BLOOM_BITS)).astype(np.int64)
+
+
+def bloom_build(ds, key_col: str) -> np.ndarray:
+    """ONE streaming pass over the build side → dense uint8 bit array
+    (BLOOM_BITS/8 bytes). Per-batch partial = the batch's DISTINCT bit
+    positions (slim int32 rows, far smaller than shipping bit arrays);
+    the driver ORs them in — associative/idempotent, so block layout is
+    irrelevant. Keys are stringified ints (matches the SQL CAST)."""
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.unique(
+            t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ks = [str(k) for k in keys]
+        pos = np.unique(
+            np.concatenate([_bloom_pos(ks, i) for i in range(BLOOM_K)])
+            if len(ks) else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table({"pos": pa.array(pos.astype(np.int32))})
+
+    bits = np.zeros(BLOOM_BITS, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        bits[b.column("pos").to_numpy(zero_copy_only=False)] = 1
+    return bits
+
+
+def bloom_maybe(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership test: True = possibly in the build set
+    (needs exact verify), False = DEFINITELY absent (no false
+    negatives — the anti-join can emit these without any join)."""
+    ks = [str(k) for k in keys]
+    m = np.ones(len(keys), dtype=bool)
+    for i in range(BLOOM_K):
+        m &= bits[_bloom_pos(ks, i)].astype(bool)
+    return m

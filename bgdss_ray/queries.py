@@ -2456,6 +2456,138 @@ FROM x GROUP BY w_us ORDER BY window_start
 """
 
 
+def bloom_antijoin_q(sf_dir: str):
+    """Bloom-accelerated anti-join: customers (orders.o_custkey, the big
+    probe side) with no event activity (events.user_id, the build side).
+
+    The scale pattern the north rule names ("bloom/cuckoo URL-seen"):
+    ONE streaming pass builds the bloom from slim per-batch
+    distinct-position partials (OR-merge — associative and idempotent);
+    the probe side tests the BROADCAST filter per batch, and keys the
+    bloom calls DEFINITELY-absent (no false negatives) go straight to the
+    output without touching any join — only the maybe-candidates
+    (members + false positives) enter the exact-verify co-group against
+    the build keys, so the join shuffle moves O(candidates), not
+    O(probe). The filter is deliberately small (4096 bits) so false
+    positives actually occur at sf0.1 and the verify path is exercised;
+    the fp flag marks them. DuckDB rebuilds the bloom bit-for-bit from
+    the same md5 positions (the CMS salt-prefix idiom), so both the
+    anti-join result AND the filter's per-key verdicts are SQL-checked."""
+    import ray as _ray
+    from ray.data.aggregate import Max
+
+    from .ops.sketches import BLOOM_K, bloom_build, bloom_maybe
+
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+    events = _pq(sf_dir, "events", ["user_id"])
+    bits = bloom_build(events, "user_id")
+    ref = _ray.put(bits)
+
+    def probe(t: pa.Table, _ref=ref) -> pa.Table:
+        b = _ray.get(_ref)
+        keys = np.unique(
+            t.column("o_custkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        m = bloom_maybe(b, keys)
+        return pa.table(
+            {"custkey": pa.array(keys),
+             "maybe": pa.array(m.astype(np.int64))}
+        )
+
+    flags = (
+        orders.map_batches(probe, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Max("maybe", alias_name="maybe"))
+        # coalescing repartition scrubs the schema-less empty blocks this
+        # Ray version's aggregate emits (they bypass map_batches UDFs and
+        # spray RefBundle-schema warnings downstream — the tfidf lesson)
+        .repartition(8)
+        .materialize()  # two consumers: definite-new split + candidates
+    )
+
+    def definite(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("maybe"), 0)
+        k = t.filter(keep).column("custkey")
+        return pa.table(
+            {"custkey": k,
+             "bloom_fp": pa.array(np.zeros(len(k), dtype=bool))}
+        )
+
+    out_definite = flags.map_batches(definite, batch_format="pyarrow")
+
+    # exact verify ONLY the candidates: tag-union co-group vs build keys
+    nb = 32
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("maybe"), 1)
+        k = t.filter(keep).column("custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": pa.array((k % nb).astype(np.int32)),
+                "k": pa.array(k),
+                "is_probe": pa.array(np.ones(len(k), dtype=bool)),
+            }
+        )
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        k = np.unique(
+            t.column("user_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "b": pa.array((k % nb).astype(np.int32)),
+                "k": pa.array(k),
+                "is_probe": pa.array(np.zeros(len(k), dtype=bool)),
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        probe_k = g.loc[g["is_probe"], "k"].to_numpy(dtype=np.int64)
+        build_k = g.loc[~g["is_probe"], "k"].to_numpy(dtype=np.int64)
+        fp = probe_k[~np.isin(probe_k, build_k)]
+        return pa.table(
+            {"custkey": pa.array(fp),
+             "bloom_fp": pa.array(np.ones(len(fp), dtype=bool))}
+        )
+
+    fp_rows = (
+        flags.map_batches(tag_cand, batch_format="pyarrow")
+        .union(events.map_batches(tag_build, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(anti, batch_format="pandas")
+        .repartition(4)  # scrub schema-less empties before the union
+    )
+    return out_definite.union(fp_rows)
+
+
+BLOOM_ANTIJOIN_SQL = r"""
+WITH probe AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+build AS (SELECT DISTINCT user_id AS k FROM events),
+ks AS (SELECT unnest(generate_series(0, 1)) AS i),
+bpos AS (
+  SELECT DISTINCT CAST(md5_number_upper(
+           CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)) % 4096
+         AS BIGINT) AS pos
+  FROM build CROSS JOIN ks
+),
+pm AS (
+  SELECT p.custkey, (COUNT(bp.pos) = 2) AS maybe
+  FROM probe p CROSS JOIN ks
+  LEFT JOIN bpos bp
+    ON bp.pos = CAST(md5_number_upper(
+         CAST(ks.i AS VARCHAR) || ':' || CAST(p.custkey AS VARCHAR)) % 4096
+       AS BIGINT)
+  GROUP BY p.custkey
+)
+SELECT CAST(pm.custkey AS BIGINT) AS custkey, pm.maybe AS bloom_fp
+FROM pm LEFT JOIN build b ON b.k = pm.custkey
+WHERE b.k IS NULL
+ORDER BY custkey
+"""
+
+
 def minmax_normalize_q(sf_dir: str):
     """Per-group min-max feature scaling (events.value per event_type) to
     an exact integer grid — the two-pass normalization pattern: pass 1 is
@@ -2857,4 +2989,5 @@ SQL_PAIRED = {
     "kmeans": (kmeans_q, KMEANS_SQL),
     "sliding_windows": (sliding_windows_q, SLIDING_WINDOWS_SQL),
     "minmax_normalize": (minmax_normalize_q, MINMAX_NORMALIZE_SQL),
+    "bloom_antijoin": (bloom_antijoin_q, BLOOM_ANTIJOIN_SQL),
 }

@@ -87,3 +87,36 @@ def test_kmv_quantile_accuracy(ray_session):
     for _, r in got.iterrows():
         exact = ex[int(np.floor(r["p"] * (len(ex) - 1)))]
         assert abs(r["est_cents"] - exact) / exact < 0.10, (r["p"], r["est_cents"], exact)
+
+
+def test_bloom_no_false_negatives_and_antijoin_exact(ray_session):
+    """Bloom membership can false-positive but NEVER false-negative, so
+    the bloom-accelerated anti-join equals the plain set anti-join; fp
+    flags only ever mark true non-members."""
+    import numpy as np
+    import ray.data as rd
+
+    from bgdss_ray.ops.sketches import bloom_build, bloom_maybe
+    from bgdss_ray.queries import bloom_antijoin_q
+
+    SF = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    bits = bloom_build(ev, "user_id")
+    members = np.unique(ev.to_pandas()["user_id"].to_numpy())
+    assert bloom_maybe(bits, members).all()  # no false negatives
+
+    got = bloom_antijoin_q(SF).to_pandas().sort_values("custkey")
+    custs = np.unique(
+        rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+        .to_pandas()["o_custkey"].to_numpy()
+    )
+    want = np.setdiff1d(custs, members)
+    assert (got["custkey"].to_numpy() == want).all()
+    # every fp-flagged row is genuinely absent from the build set AND
+    # was a bloom maybe; every unflagged row was a bloom definite-no
+    flagged = got.loc[got["bloom_fp"], "custkey"].to_numpy()
+    unflagged = got.loc[~got["bloom_fp"], "custkey"].to_numpy()
+    if len(flagged):
+        assert bloom_maybe(bits, flagged).all()
+    if len(unflagged):
+        assert not bloom_maybe(bits, unflagged).any()
