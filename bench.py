@@ -99,6 +99,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("sessionize", SQL_PAIRED["sessionize"][0]),
         ("pagerank", SQL_PAIRED["pagerank"][0]),
         ("cms_heavy_hitters", SQL_PAIRED["cms_heavy_hitters"][0]),
+        ("kmeans", SQL_PAIRED["kmeans"][0]),
+        ("sliding_windows", SQL_PAIRED["sliding_windows"][0]),
+        ("minmax_normalize", SQL_PAIRED["minmax_normalize"][0]),
+        ("bloom_antijoin", SQL_PAIRED["bloom_antijoin"][0]),
     ]
     times: dict[str, float] = {}
     for name, fn in suite:

@@ -489,3 +489,56 @@ def bloom_maybe(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
     for i in range(BLOOM_K):
         m &= bits[_bloom_pos(ks, i)].astype(bool)
     return m
+
+
+def kmv_group_quantiles(ds, group_col: str, key_fn, cents_fn, ps,
+                        k: int = 512):
+    """Per-group approximate quantiles via the KMV bottom-k sketch —
+    the grouped variant of :func:`kmv_quantiles`. Each batch emits its
+    per-group bottom-k (hash, value) partial rows (O(groups·k) egress per
+    block); ONE groupby(group) shuffle co-locates each group's partials,
+    and the in-group fold (lexsort → cut → quantile picks) runs once per
+    group. Same determinism contract as the global sketch: md5 row
+    hashes, (hash, value) tie-break, lower-index quantile pick — every
+    step bit-reproducible in SQL. Boundary note: rows tied on the exact
+    (hash, value) pair may swap across the k-cut, but the kept VALUE
+    multiset is identical either way, so estimates cannot differ."""
+    from ..urlnorm import url_hash64
+
+    ps = list(ps)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        h = url_hash64(key_fn(t))
+        v = cents_fn(t)
+        g = t.column(group_col).to_pandas()
+        f = pd.DataFrame({"g": g, "h": h.view(np.int64), "v": v})
+        out = []
+        for gv, sub in f.groupby("g", sort=False):
+            order = np.lexsort(
+                (sub["v"].to_numpy(),
+                 sub["h"].to_numpy().view(np.uint64))
+            )[:k]
+            out.append(sub.iloc[order])
+        return pd.concat(out, ignore_index=True)
+
+    def fold(grp: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (grp["v"].to_numpy(), grp["h"].to_numpy().view(np.uint64))
+        )[:k]
+        s = np.sort(grp["v"].to_numpy()[order])
+        return pd.DataFrame(
+            {
+                group_col: [grp["g"].iloc[0]] * len(ps),
+                "p": np.asarray(ps, dtype=np.float64),
+                "est_cents": np.asarray(
+                    [int(s[int(np.floor(p * (len(s) - 1)))]) for p in ps],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -2887,6 +2887,55 @@ FROM (
 """
 
 
+def kmv_group_quantiles_q(sf_dir: str):
+    """Per-event-type approximate value quantiles via the grouped KMV
+    bottom-k sketch: per-batch per-group bottom-k partials (O(groups·k)
+    egress per block), ONE groupby(group) shuffle, in-group fold. Sample
+    and estimates bit-reproducible in DuckDB (md5 row hashes, (hash,
+    value) tie-break, lower-index pick)."""
+    from .ops.sketches import kmv_group_quantiles
+
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def key_fn(t: pa.Table) -> list[str]:
+        return t.column("event_id").to_pandas().astype(str).tolist()
+
+    def cents_fn(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+
+    return kmv_group_quantiles(
+        ds, "event_type", key_fn, cents_fn, ps=(0.25, 0.5, 0.9), k=512
+    )
+
+
+KMV_GROUP_QUANTILES_SQL = r"""
+WITH hashed AS (
+  SELECT event_type AS g,
+         md5_number_upper(CAST(event_id AS VARCHAR)) AS h,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+samp AS (
+  SELECT g, v
+  FROM hashed
+  QUALIFY row_number() OVER (PARTITION BY g ORDER BY h, v) <= 512
+),
+ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS r,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM samp
+)
+SELECT r.g AS event_type, ps.p, CAST(r.v AS BIGINT) AS est_cents
+FROM (SELECT unnest([0.25, 0.5, 0.9]) AS p) ps
+CROSS JOIN (SELECT g, max(n) AS n FROM ranked GROUP BY g) gn
+JOIN ranked r
+  ON r.g = gn.g AND r.r = CAST(floor(ps.p * (gn.n - 1)) AS BIGINT)
+ORDER BY event_type, p
+"""
+
+
 def crawl_priority_log_q(sf_dir: str):
     """Priority-frontier crawl log (north-star mode): host-capped
     recency-scored wave selection replayed in DuckDB (unrolled wave CTEs
@@ -2990,4 +3039,5 @@ SQL_PAIRED = {
     "sliding_windows": (sliding_windows_q, SLIDING_WINDOWS_SQL),
     "minmax_normalize": (minmax_normalize_q, MINMAX_NORMALIZE_SQL),
     "bloom_antijoin": (bloom_antijoin_q, BLOOM_ANTIJOIN_SQL),
+    "kmv_group_quantiles": (kmv_group_quantiles_q, KMV_GROUP_QUANTILES_SQL),
 }

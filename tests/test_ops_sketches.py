@@ -120,3 +120,27 @@ def test_bloom_no_false_negatives_and_antijoin_exact(ray_session):
         assert bloom_maybe(bits, flagged).all()
     if len(unflagged):
         assert not bloom_maybe(bits, unflagged).any()
+
+
+def test_kmv_group_quantiles_layout_invariance_and_accuracy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bgdss_ray.queries import kmv_group_quantiles_q
+
+    SF = "/root/testdata/sf0.01"
+    a = kmv_group_quantiles_q(SF).to_pandas()
+    a = a.sort_values(["event_type", "p"]).reset_index(drop=True)
+
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"]).to_pandas()
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64)
+    for (g, p), est in zip(
+        a[["event_type", "p"]].itertuples(index=False), a["est_cents"]
+    ):
+        s = np.sort(ev.loc[ev["event_type"] == g, "cents"].to_numpy())
+        exact = s[int(np.floor(p * (len(s) - 1)))]
+        # standard KMV sample bound at k=512 on ~2k rows/group
+        assert abs(est - exact) <= max(200, 0.15 * exact), (g, p, est, exact)
