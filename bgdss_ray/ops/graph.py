@@ -173,3 +173,101 @@ def lineitem_edges(ds):
         )
 
     return ds.map_batches(both_ways, batch_format="pandas")
+
+
+def labelprop(edges, n_iter: int = 3, num_partitions: int | None = None):
+    """Min-label propagation (connected-components relaxation): after
+    ``n_iter`` rounds every node's label is the smallest node id within
+    ``n_iter`` hops — at fixpoint that is the component minimum (the
+    repo's dedup components use the union-find fold; this is the
+    Dataset-native iterative form, SQL-unrollable at fixed n_iter).
+
+    Same machinery as :func:`pagerank`: edges bucketed by hash(src) once
+    and reused; labels ride as sentinel rows (dst = -1) routed to
+    bucket(node); each round is ONE groupby(bucket) co-group that folds
+    the node's incoming label candidates by min (order-free, so layout
+    cannot change a bit), dedups edges in-group, and emits (a) each
+    node's own label back to its bucket and (b) one candidate label per
+    out-edge routed to bucket(dst), pre-min-combined per dst in-bucket.
+    """
+    if num_partitions is None:
+        edges = edges.materialize()
+        num_partitions = max(32, edges.count() // 250_000 + 1)
+    nb = num_partitions
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_bucket_i64(src, nb)),
+                pa.array(src),
+                t.column("dst").cast(pa.int64()),
+                pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            ],
+            names=["b", "src", "dst", "l"],
+        )
+
+    edges_b = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def _out(node: np.ndarray, lab: np.ndarray) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pa.array(_bucket_i64(node, nb)),
+                pa.array(node),
+                pa.array(np.full(len(node), -1, dtype=np.int64)),
+                pa.array(lab),
+            ],
+            names=["b", "src", "dst", "l"],
+        )
+
+    def step(g: pd.DataFrame, first: bool) -> pa.Table:
+        is_lab = g["dst"].to_numpy() == -1
+        e = g.loc[~is_lab, ["src", "dst"]].drop_duplicates()
+        if first:
+            nodes = np.unique(e["src"].to_numpy(dtype=np.int64))
+            lab = pd.Series(nodes, index=nodes)
+        else:
+            lab = (
+                g.loc[is_lab]
+                .groupby("src", sort=False)["l"]
+                .min()
+            )
+        m = e.merge(
+            lab.rename("l"), left_on="src", right_index=True, how="inner"
+        )
+        cand = (
+            pd.DataFrame(
+                {"n": m["dst"].to_numpy(dtype=np.int64),
+                 "l": m["l"].to_numpy(dtype=np.int64)}
+            )
+            .groupby("n", sort=False)["l"]
+            .min()  # in-bucket min-combiner before the shuffle
+        )
+        node = np.concatenate(
+            [lab.index.to_numpy(dtype=np.int64),
+             cand.index.to_numpy(dtype=np.int64)]
+        )
+        lv = np.concatenate(
+            [lab.to_numpy(dtype=np.int64), cand.to_numpy(dtype=np.int64)]
+        )
+        return _out(node, lv)
+
+    def fold_final(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["dst"].to_numpy() == -1]
+        lab = p.groupby("src", sort=False, as_index=False)["l"].min()
+        return pd.DataFrame(
+            {
+                "node_id": lab["src"].to_numpy(dtype=np.int64),
+                "label": lab["l"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    parts = None
+    for i in range(n_iter):
+        cur = edges_b if parts is None else edges_b.union(parts)
+        first = i == 0
+        parts = cur.groupby("b").map_groups(
+            lambda g, _f=first: step(g, _f), batch_format="pandas"
+        )
+
+    return parts.groupby("b").map_groups(fold_final, batch_format="pandas")

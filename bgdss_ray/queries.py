@@ -2887,6 +2887,64 @@ FROM (
 """
 
 
+def labelprop_q(sf_dir: str):
+    """Connected-components min-label propagation (3 rounds) over a
+    sparsified part↔supplier graph ((partkey+suppkey) % 97 keeps ~1% of
+    pairs so the component structure is non-trivial). Same one-co-group-
+    shuffle-per-round machinery as pagerank (ops/graph.labelprop); min is
+    order-free, so layout cannot change a bit and DuckDB unrolls the same
+    three relaxation rounds. l3(v) = smallest node id within 3 hops; at
+    fixpoint this is the component minimum (fixpoint parity vs the
+    union-find fold is pytest-asserted)."""
+    from .ops.graph import labelprop, lineitem_edges
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def sparsify(t: pa.Table) -> pa.Table:
+        s = (
+            t.column("l_partkey").to_numpy(zero_copy_only=False)
+            + t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        )
+        return t.filter(pa.array(s % 97 == 0))
+
+    edges = lineitem_edges(li.map_batches(sparsify, batch_format="pyarrow"))
+    return labelprop(edges, n_iter=3)
+
+
+def _lp_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT node, min(l) AS l FROM (
+    SELECT e.dst AS node, p.l FROM edges e JOIN {prev} p ON p.node = e.src
+    UNION ALL SELECT node, l FROM {prev}
+  ) GROUP BY node
+)"""
+
+
+LABELPROP_SQL = (
+    """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE (l_partkey + l_suppkey) % 97 = 0
+),
+edges AS (
+  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS l FROM edges),
+"""
+    + _lp_iter_sql("l0", "l1")
+    + ",\n"
+    + _lp_iter_sql("l1", "l2")
+    + ",\n"
+    + _lp_iter_sql("l2", "l3")
+    + """
+SELECT CAST(node AS BIGINT) AS node_id, CAST(l AS BIGINT) AS label
+FROM l3 ORDER BY node_id
+"""
+)
+
+
 def kmv_group_quantiles_q(sf_dir: str):
     """Per-event-type approximate value quantiles via the grouped KMV
     bottom-k sketch: per-batch per-group bottom-k partials (O(groups·k)
@@ -3040,4 +3098,5 @@ SQL_PAIRED = {
     "minmax_normalize": (minmax_normalize_q, MINMAX_NORMALIZE_SQL),
     "bloom_antijoin": (bloom_antijoin_q, BLOOM_ANTIJOIN_SQL),
     "kmv_group_quantiles": (kmv_group_quantiles_q, KMV_GROUP_QUANTILES_SQL),
+    "labelprop": (labelprop_q, LABELPROP_SQL),
 }

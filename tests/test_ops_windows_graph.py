@@ -173,3 +173,33 @@ def test_sliding_windows_mass_and_layout_invariance(ray_session):
         want = int(((ts_us >= w_us) & (ts_us < w_us + WINDOW_US)).sum())
         got = int(a.loc[a["window_start"] == w, "n_events"].iloc[0])
         assert got == want
+
+
+def test_labelprop_fixpoint_matches_union_find(ray_session):
+    """Run min-label propagation far past the graph diameter; labels must
+    equal the union-find component minimum for every node. Also bucket
+    fan-out invariance at the paired 3-round depth."""
+    from bgdss_ray.ops.dedup import union_find_components
+    from bgdss_ray.ops.graph import labelprop
+    from bgdss_ray.queries import labelprop_q
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"]).to_pandas()
+    li = li[(li["l_partkey"] + li["l_suppkey"]) % 97 == 0]
+    p = li["l_partkey"].to_numpy() * 2
+    s = li["l_suppkey"].to_numpy() * 2 + 1
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": np.concatenate([p, s]).astype("int64"),
+        "dst": np.concatenate([s, p]).astype("int64"),
+    }))
+    got = labelprop(edges, n_iter=16).to_pandas()
+    comp = union_find_components(
+        pd.DataFrame({"id_a": p, "id_b": s})
+    )
+    want = {int(n): int(comp.get(n, n)) for n in got["node_id"]}
+    assert {int(r.node_id): int(r.label)
+            for r in got.itertuples()} == want
+
+    a = _sorted(labelprop_q(SF).to_pandas())
+    b = _sorted(labelprop(edges, n_iter=3, num_partitions=5).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
