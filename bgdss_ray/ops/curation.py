@@ -251,3 +251,65 @@ class RepetitionFilter:
                 "keep": keep,
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150  # 50-char overlap
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE):
+    """Split each document into fixed-size overlapping code-point windows
+    (LLM context-window prep). Map-only — no shuffle; chunk boundaries
+    depend only on the row, so block layout is irrelevant.
+
+    Vectorization shape: strings are sliced with the Arrow
+    ``utf8_slice_codeunits`` kernel, which takes SCALAR offsets — so the
+    loop is over chunk ordinals (bounded by ceil(max_len/stride), a few
+    iterations), never over rows. Code-point slicing matches both
+    python's ``s[a:b]`` and DuckDB's ``substring`` (verified), so the
+    chunk text itself is SQL-paired. Empty/null docs emit no chunks."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column(text_col), "")
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n_chunks = (lens + stride - 1) // stride  # 0 for empty docs
+        max_k = int(n_chunks.max()) if len(n_chunks) else 0
+        out_id, out_no, out_start, out_text = [], [], [], []
+        for k in range(max_k):
+            m = n_chunks > k
+            idx = np.flatnonzero(m)
+            sl = pc.utf8_slice_codeunits(
+                pc.take(txt, pa.array(idx)),
+                start=k * stride, stop=k * stride + size,
+            )
+            out_id.append(ids[idx])
+            out_no.append(np.full(len(idx), k, dtype=np.int64))
+            out_start.append(np.full(len(idx), k * stride, dtype=np.int64))
+            out_text.append(sl)
+        if not out_id:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "chunk_no": pa.array([], type=pa.int64()),
+                 "start": pa.array([], type=pa.int64()),
+                 "chunk": pa.array([], type=pa.string())}
+            )
+        chunk = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in out_text]
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id).astype(np.int64)),
+                "chunk_no": pa.array(np.concatenate(out_no)),
+                "start": pa.array(np.concatenate(out_start)),
+                "chunk": chunk,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

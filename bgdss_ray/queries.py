@@ -2887,6 +2887,36 @@ FROM (
 """
 
 
+def chunk_documents_q(sf_dir: str):
+    """Context-window chunking: each document → fixed-size overlapping
+    code-point windows (200 chars, stride 150). Map-only, zero shuffles;
+    the row loop is over chunk ordinals (Arrow scalar-offset slice
+    kernel per ordinal), never over rows. Chunk text is SQL-paired —
+    python slicing, Arrow utf8_slice_codeunits, and DuckDB substring all
+    count code points (ops/curation.chunk_documents)."""
+    from .ops.curation import chunk_documents
+
+    return chunk_documents(_pq(sf_dir, "documents", ["doc_id", "text"]))
+
+
+CHUNK_DOCUMENTS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(k.k AS BIGINT) AS chunk_no,
+       CAST(k.k * 150 AS BIGINT) AS start,
+       substring(text, k.k * 150 + 1, 200) AS chunk
+FROM d
+CROSS JOIN (SELECT unnest(generate_series(
+       0, (SELECT max(n) // 150 FROM d))) AS k) k
+WHERE k.k * 150 < n
+ORDER BY doc_id, chunk_no
+"""
+
+
 def labelprop_q(sf_dir: str):
     """Connected-components min-label propagation (3 rounds) over a
     sparsified part↔supplier graph ((partkey+suppkey) % 97 keeps ~1% of
@@ -3099,4 +3129,5 @@ SQL_PAIRED = {
     "bloom_antijoin": (bloom_antijoin_q, BLOOM_ANTIJOIN_SQL),
     "kmv_group_quantiles": (kmv_group_quantiles_q, KMV_GROUP_QUANTILES_SQL),
     "labelprop": (labelprop_q, LABELPROP_SQL),
+    "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
 }

@@ -195,3 +195,29 @@ def test_curate_corpus_bucket_width_invariance(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_chunk_documents_reconstruction_and_overlap(ray_session):
+    """Chunks tile each doc with exact 50-char overlaps; concatenating
+    chunk[:stride] pieces plus the last tail reconstructs the text."""
+    import numpy as np
+    import ray.data as rd
+
+    from bgdss_ray.ops.curation import CHUNK_SIZE, CHUNK_STRIDE, chunk_documents
+
+    SF = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ch = chunk_documents(ds).to_pandas().sort_values(
+        ["doc_id", "chunk_no"])
+    docs = ds.to_pandas().set_index("doc_id")["text"].fillna("")
+    for doc_id, g in ch.groupby("doc_id"):
+        text = docs[doc_id]
+        assert (g["start"].to_numpy()
+                == np.arange(len(g)) * CHUNK_STRIDE).all()
+        rebuilt = "".join(c[:CHUNK_STRIDE] for c in g["chunk"][:-1])
+        rebuilt += g["chunk"].iloc[-1]
+        assert rebuilt == text
+        for _, r in g.iterrows():
+            assert r["chunk"] == text[r["start"]:r["start"] + CHUNK_SIZE]
+    n_docs_with_text = int((docs.str.len() > 0).sum())
+    assert ch["doc_id"].nunique() == n_docs_with_text
