@@ -76,6 +76,8 @@ def kmeans(ds, k: int = 8, n_iter: int = 3, col: str = "embedding",
     iterations — c is the offset-quantized integer centroid coordinate,
     n the cluster size from the final assignment. Clusters that lose all
     members are dropped (mirrored by the SQL oracle's inner grouping)."""
+    if n_iter < 1:
+        raise ValueError("kmeans: n_iter must be >= 1")
     cids, C = seed_centroids(ds, k, col, id_col)
 
     for _ in range(n_iter):
@@ -83,7 +85,10 @@ def kmeans(ds, k: int = 8, n_iter: int = 3, col: str = "embedding",
 
         def partial(t: pa.Table, _ref=ref) -> pa.Table:
             p_cids, p_C = ray.get(_ref)
-            q = _qmatrix(t.column(col), check=False)
+            # keep the |x| < 2 range check on in the hot path too: it is
+            # one vectorized max() per batch, and out-of-range values
+            # would silently break the sum//n floor==truncate contract
+            q = _qmatrix(t.column(col))
             # (n, k) squared distances; argmin ties -> first (lowest cid)
             d2 = ((q[:, None, :] - p_C[None, :, :]) ** 2).sum(axis=2)
             a = np.argmin(d2, axis=1)

@@ -187,3 +187,90 @@ def asof_join_backward(
     return out.map_batches(
         lambda df: df.rename(columns=rename), batch_format="pandas"
     )
+
+
+def salted_bucketed_join(
+    left,
+    right,
+    on: str,
+    hot_keys: np.ndarray,
+    n_salt: int = 8,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Hot-key-salted variant of :func:`bucketed_join` (inner, both sides
+    large, LEFT side skewed on ``hot_keys``).
+
+    Skew mitigation: a hot key's probe rows would all land in one bucket
+    and serialize on one task. Instead, probe rows of hot keys fan out to
+    ``n_salt`` sub-buckets (salt = a per-row counter mod n_salt — any
+    row-local value works; it only balances load), while the BUILD side
+    replicates its hot-key rows across all n_salt sub-buckets so every
+    probe row still meets every matching build row exactly once. Cold
+    keys use the plain single bucket. Result is row-identical to the
+    unsalted join (asserted in tests) — salting changes placement, never
+    membership. Bucket ids: cold = key % n_buckets, hot =
+    n_buckets + hot_index * n_salt + salt (disjoint ranges). Hot-index
+    lookup is a searchsorted against the sorted hot list (vectorized —
+    the hot rows are by definition the bulk of the skewed side)."""
+    hot = np.sort(np.asarray(hot_keys, dtype=np.int64))
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    all_types = {**r_types, **l_types}
+    out_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    all_cols = out_cols
+
+    def _buckets(keys: np.ndarray, salt: np.ndarray | None):
+        bucket = (keys % n_buckets).astype(np.int64)
+        is_hot = np.isin(keys, hot)
+        hidx = np.searchsorted(hot, keys[is_hot])
+        return bucket, is_hot, hidx
+
+    def _pad(t: pa.Table, bucket: np.ndarray, is_r: bool) -> pa.Table:
+        cols = {}
+        for c in all_cols:
+            cols[c] = (t.column(c) if c in t.schema.names
+                       else pa.nulls(t.num_rows, type=all_types[c]))
+        cols["__b"] = pa.array(bucket)
+        cols["__is_r"] = pa.array(np.full(t.num_rows, is_r))
+        return pa.table(cols)
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        keys = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket, is_hot, hidx = _buckets(keys, None)
+        if is_hot.any():
+            salt = np.arange(t.num_rows, dtype=np.int64) % n_salt
+            bucket[is_hot] = n_buckets + hidx * n_salt + salt[is_hot]
+        return _pad(t, bucket, False)
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        keys = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket, is_hot, hidx = _buckets(keys, None)
+        cold_idx = np.flatnonzero(~is_hot)
+        hot_idx = np.flatnonzero(is_hot)
+        # replicate hot build rows across every salt sub-bucket
+        take = np.concatenate([cold_idx, np.repeat(hot_idx, n_salt)])
+        tt = t.take(pa.array(take))
+        hb = (
+            n_buckets + hidx[:, None] * n_salt
+            + np.arange(n_salt, dtype=np.int64)[None, :]
+        ).ravel()
+        bt = np.concatenate([bucket[cold_idx], hb])
+        return _pad(tt, bt, True)
+
+    both = left.map_batches(tag_probe, batch_format="pyarrow").union(
+        right.map_batches(tag_build, batch_format="pyarrow")
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[~g["__is_r"]][l_cols]
+        r = g[g["__is_r"]][r_cols]
+        if l.empty or r.empty:
+            return pd.DataFrame(columns=out_cols)
+        m = l.merge(r, how="inner", on=on, sort=False)
+        return m[out_cols]
+
+    out = both.groupby("__b").map_groups(merge_bucket, batch_format="pandas")
+    return out.to_pandas()

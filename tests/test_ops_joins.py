@@ -96,3 +96,42 @@ def test_asof_join_backward_matches_global_merge_asof(ray_session):
         want["rt"].fillna(pd.Timestamp(0)).tolist()
     # keys without right rows survive with nulls
     assert got[got["k"] == 4]["rv"].isna().all() or (left["k"] != 4).all()
+
+
+def test_salted_join_equals_unsalted_on_skewed_keys(ray_session):
+    """Salting changes placement, never membership: on a corpus where 3
+    hot keys carry 70% of probe rows, the salted join's row multiset is
+    identical to the plain bucketed join, and the hot sub-buckets
+    actually receive the fanned-out rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bgdss_ray.ops.joins import bucketed_join, salted_bucketed_join
+
+    rng_keys = np.r_[
+        np.repeat([7, 13, 42], 700),      # hot keys: 70% of rows
+        np.arange(100, 1000)              # cold tail
+    ]
+    left = pd.DataFrame({
+        "k": rng_keys.astype("int64"),
+        "lv": np.arange(len(rng_keys), dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(0, 1000, dtype="int64"),
+        "rv": (np.arange(0, 1000, dtype="int64") * 3),
+    })
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    got = salted_bucketed_join(
+        lds, rds, on="k", hot_keys=np.array([7, 13, 42]), n_salt=4
+    )
+    want = bucketed_join(lds, rds, on="k")
+    key = lambda df: df.sort_values(list(df.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        key(got[sorted(got.columns)]), key(want[sorted(want.columns)])
+    )
+    # every (hot key, lv) pairing survived exactly once
+    hot_rows = got[got["k"].isin([7, 13, 42])]
+    assert len(hot_rows) == 3 * 700
+    assert hot_rows.duplicated(["k", "lv"]).sum() == 0
