@@ -220,9 +220,8 @@ def salted_bucketed_join(
     r_types = dict(zip(r_schema.names, r_schema.types))
     all_types = {**r_types, **l_types}
     out_cols = l_cols + [c for c in r_cols if c not in l_cols]
-    all_cols = out_cols
 
-    def _buckets(keys: np.ndarray, salt: np.ndarray | None):
+    def _buckets(keys: np.ndarray):
         bucket = (keys % n_buckets).astype(np.int64)
         is_hot = np.isin(keys, hot)
         hidx = np.searchsorted(hot, keys[is_hot])
@@ -230,7 +229,7 @@ def salted_bucketed_join(
 
     def _pad(t: pa.Table, bucket: np.ndarray, is_r: bool) -> pa.Table:
         cols = {}
-        for c in all_cols:
+        for c in out_cols:
             cols[c] = (t.column(c) if c in t.schema.names
                        else pa.nulls(t.num_rows, type=all_types[c]))
         cols["__b"] = pa.array(bucket)
@@ -239,7 +238,7 @@ def salted_bucketed_join(
 
     def tag_probe(t: pa.Table) -> pa.Table:
         keys = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket, is_hot, hidx = _buckets(keys, None)
+        bucket, is_hot, hidx = _buckets(keys)
         if is_hot.any():
             salt = np.arange(t.num_rows, dtype=np.int64) % n_salt
             bucket[is_hot] = n_buckets + hidx * n_salt + salt[is_hot]
@@ -247,7 +246,7 @@ def salted_bucketed_join(
 
     def tag_build(t: pa.Table) -> pa.Table:
         keys = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket, is_hot, hidx = _buckets(keys, None)
+        bucket, is_hot, hidx = _buckets(keys)
         cold_idx = np.flatnonzero(~is_hot)
         hot_idx = np.flatnonzero(is_hot)
         # replicate hot build rows across every salt sub-bucket

@@ -155,6 +155,12 @@ def hll_distinct_by(ds, group_col: str, col: str, p: int = 12) -> pd.DataFrame:
         codes, uniq = pd.factorize(t.column(group_col).to_pandas())
         regs = np.zeros(len(uniq) * m, dtype=np.uint8)
         idx, rank = hll_idx_ranks(h, p)
+        # factorize codes nulls as -1: a negative flat index would wrap
+        # into the LAST group's registers (silent estimate corruption) or
+        # raise on an all-null batch. Nulls carry no key — drop them,
+        # matching the exact-count side (groupby excludes null groups).
+        ok = codes >= 0
+        codes, idx, rank = codes[ok], idx[ok], rank[ok]
         np.maximum.at(regs, codes.astype(np.int64) * m + idx, rank)
         return pa.table(
             {
@@ -182,7 +188,7 @@ def hll_distinct_by(ds, group_col: str, col: str, p: int = 12) -> pd.DataFrame:
     pairs = ds.groupby([group_col, col]).aggregate(Count(alias_name="n"))
     ex = (
         pairs.map_batches(
-            lambda df: df[[group_col]].assign(one=np.int64(1)),
+            lambda df: df[[group_col]],
             batch_format="pandas",
         )
         .groupby(group_col)
@@ -508,6 +514,13 @@ def kmv_group_quantiles(ds, group_col: str, key_fn, cents_fn, ps,
     ps = list(ps)
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"g": pd.Series(dtype=object),
+             "h": pd.Series(dtype=np.int64),
+             "v": pd.Series(dtype=np.int64)}
+        )
+        if not t.num_rows:  # empty upstream block: typed empty partial
+            return empty
         h = url_hash64(key_fn(t))
         v = cents_fn(t)
         g = t.column(group_col).to_pandas()
@@ -519,7 +532,7 @@ def kmv_group_quantiles(ds, group_col: str, key_fn, cents_fn, ps,
                  sub["h"].to_numpy().view(np.uint64))
             )[:k]
             out.append(sub.iloc[order])
-        return pd.concat(out, ignore_index=True)
+        return pd.concat(out, ignore_index=True) if out else empty
 
     def fold(grp: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort(

@@ -126,7 +126,13 @@ def sliding_window_agg(ds, window_us: int = WINDOW_US,
     k = window_us // stride_us
 
     def partial(t) -> pd.DataFrame:
-        ts_us = t.column("ts").cast("int64").to_numpy(zero_copy_only=False)
+        # normalize to µs regardless of the column's timestamp unit
+        # (a raw cast("int64") would read ns storage as µs — 3.6 ms
+        # windows instead of 1 h; same convention as sessionize_bucket)
+        ts_us = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
         cents = np.floor(
             t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
