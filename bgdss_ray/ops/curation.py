@@ -313,3 +313,58 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+PACK_BUDGET = 256  # chars per packed sequence
+
+
+def pack_sequences(chunks, budget: int = PACK_BUDGET,
+                   n_buckets: int | None = None):
+    """Document-local sequence packing: assign each chunk (ordered by
+    chunk_no within its doc) to a fixed-budget pack via the streaming
+    rule pack_id = (prefix_chars - own_chars) // budget — i.e. a chunk
+    starts a new pack when the running total crosses a budget boundary.
+    Doc-local packing is the standard LLM-pretraining shape (no
+    cross-document attention leakage), and it is embarrassingly parallel
+    by doc: ONE hash-bucket shuffle co-locates each doc's chunks, and the
+    whole bucket computes its prefix sums VECTORIZED (one sort + one
+    grouped cumsum — the sessionize shape, O(buckets) python calls).
+    All-integer arithmetic on non-negative values → DuckDB replays it
+    with a window cumsum bit-exactly."""
+    import pyarrow.compute as pc
+
+    if n_buckets is None:
+        n_buckets = 64
+
+    def bucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "b", pa.array((d % n_buckets).astype(np.int64))
+        )
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_no"], kind="mergesort")
+        n = g["chunk"].str.len().to_numpy(dtype=np.int64)
+        cum = (
+            pd.Series(n)
+            .groupby(g["doc_id"].to_numpy(), sort=False)
+            .cumsum()
+            .to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "chunk_no": g["chunk_no"].to_numpy(dtype=np.int64),
+                "pack_id": (cum - n) // budget,
+                "cum_chars": cum,
+            }
+        )
+
+    return (
+        chunks.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(
+            lambda g: pack_bucket(g.drop(columns=["b"])),
+            batch_format="pandas",
+        )
+    )

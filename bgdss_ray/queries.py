@@ -2917,6 +2917,44 @@ ORDER BY doc_id, chunk_no
 """
 
 
+def pack_sequences_q(sf_dir: str):
+    """Document-local sequence packing over the chunked corpus: chunks
+    (ordered by chunk_no per doc) are assigned to fixed-budget packs via
+    pack_id = (prefix_chars - own_chars) // budget. One doc-hash bucket
+    shuffle; prefix sums vectorized per bucket (the sessionize shape).
+    DuckDB replays the chunking + window cumsum + integer division
+    bit-exactly (ops/curation.pack_sequences)."""
+    from .ops.curation import chunk_documents, pack_sequences
+
+    chunks = chunk_documents(_pq(sf_dir, "documents", ["doc_id", "text"]))
+    return pack_sequences(chunks)
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS n
+  FROM documents
+), ch AS (
+  SELECT doc_id, k.k AS chunk_no,
+         length(substring(text, k.k * 150 + 1, 200)) AS len
+  FROM d
+  CROSS JOIN (SELECT unnest(generate_series(
+         0, (SELECT max(n) // 150 FROM d))) AS k) k
+  WHERE k.k * 150 < n
+), c2 AS (
+  SELECT doc_id, chunk_no, len,
+         SUM(len) OVER (PARTITION BY doc_id ORDER BY chunk_no
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ch
+)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST((cum - len) // 256 AS BIGINT) AS pack_id,
+       CAST(cum AS BIGINT) AS cum_chars
+FROM c2 ORDER BY doc_id, chunk_no
+"""
+
+
 def labelprop_q(sf_dir: str):
     """Connected-components min-label propagation (3 rounds) over a
     sparsified part↔supplier graph ((partkey+suppkey) % 97 keeps ~1% of
@@ -3130,4 +3168,5 @@ SQL_PAIRED = {
     "kmv_group_quantiles": (kmv_group_quantiles_q, KMV_GROUP_QUANTILES_SQL),
     "labelprop": (labelprop_q, LABELPROP_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
+    "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
 }

@@ -221,3 +221,37 @@ def test_chunk_documents_reconstruction_and_overlap(ray_session):
             assert r["chunk"] == text[r["start"]:r["start"] + CHUNK_SIZE]
     n_docs_with_text = int((docs.str.len() > 0).sum())
     assert ch["doc_id"].nunique() == n_docs_with_text
+
+
+def test_pack_sequences_budget_and_contiguity(ray_session):
+    """Within each doc: pack ids are non-decreasing and start at 0; a
+    pack's char total never exceeds budget + one chunk's overflow (the
+    streaming rule closes a pack when the prefix crosses the boundary);
+    bucket width never changes the result."""
+    import numpy as np
+    import ray.data as rd
+
+    from bgdss_ray.ops.curation import (PACK_BUDGET, chunk_documents,
+                                        pack_sequences)
+
+    SF = "/root/testdata/sf0.001"
+    chunks = chunk_documents(
+        rd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    ).materialize()
+    a = pack_sequences(chunks).to_pandas().sort_values(
+        ["doc_id", "chunk_no"]).reset_index(drop=True)
+    b = pack_sequences(chunks, n_buckets=7).to_pandas().sort_values(
+        ["doc_id", "chunk_no"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    for doc_id, g in a.groupby("doc_id"):
+        pid = g["pack_id"].to_numpy()
+        assert pid[0] == 0
+        assert (np.diff(pid) >= 0).all()
+        lens = np.diff(np.r_[0, g["cum_chars"].to_numpy()])
+        for p in np.unique(pid):
+            tot = lens[pid == p].sum()
+            # a pack only opens below the boundary, so it can overflow by
+            # at most its last chunk
+            assert tot <= PACK_BUDGET + lens[pid == p][-1]
