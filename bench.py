@@ -103,6 +103,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("sliding_windows", SQL_PAIRED["sliding_windows"][0]),
         ("minmax_normalize", SQL_PAIRED["minmax_normalize"][0]),
         ("bloom_antijoin", SQL_PAIRED["bloom_antijoin"][0]),
+        ("labelprop", SQL_PAIRED["labelprop"][0]),
+        ("kmv_group_quantiles", SQL_PAIRED["kmv_group_quantiles"][0]),
+        ("chunk_documents", SQL_PAIRED["chunk_documents"][0]),
+        ("pack_sequences", SQL_PAIRED["pack_sequences"][0]),
     ]
     times: dict[str, float] = {}
     for name, fn in suite:
