@@ -2917,6 +2917,50 @@ ORDER BY doc_id, chunk_no
 """
 
 
+def triangle_count_q(sf_dir: str):
+    """Distributed triangle counting (wedge-check method) on the part
+    co-purchase graph (parts sharing an order; orders sparsified by
+    orderkey % 13). Edges oriented u < v count each triangle exactly once
+    at its smallest vertex; TWO co-group shuffles total — wedge
+    generation rides bucket(u) with in-group dedup + per-(v1,v2)
+    combining, triangle closure rides bucket(v1) against the edge set —
+    and the driver folds O(buckets) partial rows. Counts are order-free
+    integer sums; DuckDB replays the two self-joins exactly
+    (ops/graph.triangle_count)."""
+    from .ops.graph import copurchase_edges, triangle_count
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def sparsify(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(o % 13 == 0))
+
+    edges = copurchase_edges(
+        li.map_batches(sparsify, batch_format="pyarrow")
+    )
+    return triangle_count(edges)
+
+
+TRIANGLE_COUNT_SQL = r"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 13 = 0
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+w AS (
+  SELECT e1.v AS a, e2.v AS b
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM w JOIN e ON e.u = w.a AND e.v = w.b) AS n_triangles
+"""
+
+
 def pack_sequences_q(sf_dir: str):
     """Document-local sequence packing over the chunked corpus: chunks
     (ordered by chunk_no per doc) are assigned to fixed-budget packs via
@@ -3169,4 +3213,5 @@ SQL_PAIRED = {
     "labelprop": (labelprop_q, LABELPROP_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
+    "triangle_count": (triangle_count_q, TRIANGLE_COUNT_SQL),
 }

@@ -203,3 +203,34 @@ def test_labelprop_fixpoint_matches_union_find(ray_session):
     a = _sorted(labelprop_q(SF).to_pandas())
     b = _sorted(labelprop(edges, n_iter=3, num_partitions=5).to_pandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    """Engine triangle count == a direct adjacency-set count on the
+    collected graph; bucket fan-out is semantics-free."""
+    from bgdss_ray.ops.graph import copurchase_edges, triangle_count
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    li = li.filter(lambda r: r["l_orderkey"] % 13 == 0)
+    edges = copurchase_edges(li).materialize()
+    a = triangle_count(edges, num_partitions=64)
+    b = triangle_count(edges, num_partitions=7)
+    pd.testing.assert_frame_equal(a, b)
+
+    e = edges.to_pandas().drop_duplicates()
+    adj: dict = {}
+    for u, v in zip(e["u"], e["v"]):
+        adj.setdefault(u, set()).add(v)
+    tri = 0
+    wedges = 0
+    for u, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                wedges += 1
+                if ns[j] in adj.get(ns[i], ()):
+                    tri += 1
+    assert int(a["n_edges"].iloc[0]) == len(e)
+    assert int(a["n_wedges"].iloc[0]) == wedges
+    assert int(a["n_triangles"].iloc[0]) == tri
