@@ -107,6 +107,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("kmv_group_quantiles", SQL_PAIRED["kmv_group_quantiles"][0]),
         ("chunk_documents", SQL_PAIRED["chunk_documents"][0]),
         ("pack_sequences", SQL_PAIRED["pack_sequences"][0]),
+        ("triangle_count", SQL_PAIRED["triangle_count"][0]),
     ]
     times: dict[str, float] = {}
     for name, fn in suite:
