@@ -108,6 +108,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("chunk_documents", SQL_PAIRED["chunk_documents"][0]),
         ("pack_sequences", SQL_PAIRED["pack_sequences"][0]),
         ("triangle_count", SQL_PAIRED["triangle_count"][0]),
+        ("revenue_by_nation", SQL_PAIRED["revenue_by_nation"][0]),
     ]
     times: dict[str, float] = {}
     for name, fn in suite:

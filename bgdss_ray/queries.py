@@ -2917,6 +2917,172 @@ ORDER BY doc_id, chunk_no
 """
 
 
+def revenue_by_nation_q(sf_dir: str):
+    """TPC-H-Q5-style multi-join rollup: revenue per ASIA nation where the
+    customer and the supplier share the nation — the composition query
+    the single-join entries don't cover. Physical plan (scale-honest):
+    nation/region/supplier are BROADCAST lookups (tiny dims, ray.put or
+    closure); customer⋈orders and (that)⋈lineitem are the two
+    both-sides-large exchanges, each ONE tag-union bucket co-group; the
+    equal-nation filter and per-nation revenue partial sums run inside
+    the second co-group, so the final shuffle moves O(buckets × nations)
+    rows. Money is exact integer: revenue_milli = cents(extendedprice) ×
+    (100 − percent(discount)) — order-free sums, bit-exact in DuckDB."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    region = _pq(sf_dir, "region").to_pandas()
+    nation = _pq(sf_dir, "nation").to_pandas()
+    rk = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nat = nation[nation["n_regionkey"] == rk]
+    nat_names = dict(zip(nat["n_nationkey"].astype(int),
+                         nat["n_name"].astype(str)))
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_map = dict(zip(supp["s_suppkey"].astype(int),
+                        supp["s_nationkey"].astype(int)))
+    dims = _ray.put((set(nat_names), supp_map))
+
+    nb = 32
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": pa.array((k % nb).astype(np.int64)),
+                "k": pa.array(k.astype(np.int64)),
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "cnat": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            }
+        )
+
+    def tag_cust(t: pa.Table, _d=dims) -> pa.Table:
+        nat_keys, _ = _ray.get(_d)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(cn, np.asarray(sorted(nat_keys)))
+        ck, cn = ck[keep], cn[keep]
+        return pa.table(
+            {
+                "b": pa.array((ck % nb).astype(np.int64)),
+                "k": pa.array(ck.astype(np.int64)),
+                "o_orderkey": pa.array(np.full(len(ck), -1, dtype=np.int64)),
+                "cnat": pa.array(cn.astype(np.int64)),
+            }
+        )
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["o_orderkey"] == -1][["k", "cnat"]]
+        o = g[g["o_orderkey"] != -1][["k", "o_orderkey"]]
+        m = o.merge(c, on="k", how="inner", sort=False)
+        ok = m["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "b2": (ok % nb),
+                "o_orderkey": ok,
+                "cnat": m["cnat"].to_numpy(dtype=np.int64),
+                "rev": np.full(len(m), -1, dtype=np.int64),
+                "snat": np.full(len(m), -1, dtype=np.int64),
+            }
+        )
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ordn = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(cust.map_batches(tag_cust, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(join_cust, batch_format="pandas")
+    )
+
+    def tag_line(t: pa.Table, _d=dims) -> pd.DataFrame:
+        nat_keys, smap = _ray.get(_d)
+        lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sn = (
+            pd.Series(t.column("l_suppkey").to_numpy(zero_copy_only=False))
+            .map(smap)
+            .to_numpy(dtype=np.int64)
+        )
+        ep = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        dc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        keep = np.isin(sn, np.asarray(sorted(nat_keys)))
+        return pd.DataFrame(
+            {
+                "b2": (lk[keep] % nb).astype(np.int64),
+                "o_orderkey": lk[keep].astype(np.int64),
+                "cnat": np.full(int(keep.sum()), -1, dtype=np.int64),
+                "rev": ep[keep] * (100 - dc[keep]),
+                "snat": sn[keep],
+            }
+        )
+
+    def join_line(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["rev"] == -1][["o_orderkey", "cnat"]]
+        l = g[g["rev"] != -1][["o_orderkey", "rev", "snat"]]
+        m = l.merge(o, on="o_orderkey", how="inner", sort=False)
+        m = m[m["cnat"].to_numpy() == m["snat"].to_numpy()]
+        part = (
+            m.groupby("snat", sort=False, as_index=False)["rev"].sum()
+        )  # in-group combiner: final shuffle moves O(buckets × nations)
+        return pd.DataFrame(
+            {"snat": part["snat"].to_numpy(dtype=np.int64),
+             "rev": part["rev"].to_numpy(dtype=np.int64)}
+        )
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    parts = (
+        ordn.union(li.map_batches(tag_line, batch_format="pyarrow"))
+        .groupby("b2")
+        .map_groups(join_line, batch_format="pandas")
+        .groupby("snat")
+        .aggregate(Sum("rev", alias_name="revenue_milli"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nation": df["snat"].map(nat_names).astype(str),
+                "revenue_milli": df["revenue_milli"].astype("int64"),
+            }
+        )
+
+    return parts.map_batches(finish, batch_format="pandas")
+
+
+REVENUE_BY_NATION_SQL = r"""
+WITH n AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'ASIA'
+),
+c AS (
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE c_nationkey IN (SELECT n_nationkey FROM n)
+),
+o AS (
+  SELECT o_orderkey, c.c_nationkey AS cnat
+  FROM orders JOIN c ON c.c_custkey = o_custkey
+),
+l AS (
+  SELECT l_orderkey, s.s_nationkey AS snat,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem JOIN supplier s ON s.s_suppkey = l_suppkey
+  WHERE s.s_nationkey IN (SELECT n_nationkey FROM n)
+)
+SELECT n.n_name AS nation, CAST(sum(l.rev) AS BIGINT) AS revenue_milli
+FROM l
+JOIN o ON o.o_orderkey = l.l_orderkey AND o.cnat = l.snat
+JOIN n ON n.n_nationkey = l.snat
+GROUP BY n.n_name ORDER BY nation
+"""
+
+
 def triangle_count_q(sf_dir: str):
     """Distributed triangle counting (wedge-check method) on the part
     co-purchase graph (parts sharing an order; orders sparsified by
@@ -3214,4 +3380,5 @@ SQL_PAIRED = {
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
     "triangle_count": (triangle_count_q, TRIANGLE_COUNT_SQL),
+    "revenue_by_nation": (revenue_by_nation_q, REVENUE_BY_NATION_SQL),
 }
