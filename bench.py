@@ -109,6 +109,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("pack_sequences", SQL_PAIRED["pack_sequences"][0]),
         ("triangle_count", SQL_PAIRED["triangle_count"][0]),
         ("revenue_by_nation", SQL_PAIRED["revenue_by_nation"][0]),
+        ("rollup_sales", SQL_PAIRED["rollup_sales"][0]),
+        ("pivot_events", SQL_PAIRED["pivot_events"][0]),
     ]
     times: dict[str, float] = {}
     for name, fn in suite:

@@ -2917,6 +2917,136 @@ ORDER BY doc_id, chunk_no
 """
 
 
+def rollup_sales_q(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over exact-cents sales
+    — hierarchical totals in ONE shuffle: the map side explodes each row
+    into its three hierarchy levels ((flag, status), (flag, ALL),
+    (ALL, ALL)) AND pre-aggregates them per batch (combiner), so the
+    single groupby moves O(blocks × levels × groups) partial rows and
+    no second pass or union-of-groupbys exists. '::ALL::' is the
+    sentinel DuckDB's ROLLUP NULLs are coalesced to."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        f = t.column("l_returnflag").to_pandas().astype(str)
+        s = t.column("l_linestatus").to_pandas().astype(str)
+        c = _cents(t.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False)
+        allc = pd.Series(np.repeat("::ALL::", len(f)))
+        frame = pd.DataFrame(
+            {
+                "l_returnflag": pd.concat([f, f, allc], ignore_index=True),
+                "l_linestatus": pd.concat([s, allc, allc],
+                                          ignore_index=True),
+                "sum_cents": np.tile(c, 3),
+                "n_rows": np.ones(3 * len(f), dtype=np.int64),
+            }
+        )
+        return (
+            frame.groupby(["l_returnflag", "l_linestatus"], sort=False,
+                          as_index=False)
+            .agg(sum_cents=("sum_cents", "sum"), n_rows=("n_rows", "sum"))
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                   Sum("n_rows", alias_name="n_rows"))
+    )
+
+    def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_cents"] = df["sum_cents"].astype("int64")
+        df["n_rows"] = df["n_rows"].astype("int64")
+        return df
+
+    return out.map_batches(fix_types, batch_format="pandas")
+
+
+def pivot_events_q(sf_dir: str):
+    """Pivot (long → wide): per-user event-type counts as columns. The
+    column vocabulary is DERIVED FROM DATA (a tiny distinct-types
+    groupby, broadcast in the closure — if the vocabulary ever drifts
+    from the SQL's static FILTER list the column comparison fails
+    loudly); the map side crosstabs each batch (vectorized per-batch
+    combiner), so the one groupby(user) shuffle moves O(blocks × users ×
+    1) wide partial rows, never the long event stream."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(
+        r["event_type"]
+        for r in ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    cols = [f"n_{t}" for t in types]
+
+    def onehot(t: pa.Table, _types=tuple(types)) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+             "event_type": t.column("event_type").to_pandas()}
+        )
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=list(_types), fill_value=0)
+        ct.columns = [f"n_{c}" for c in ct.columns]
+        out = ct.reset_index()
+        for c in ct.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    # NOT Ray's multi-column Sum aggregate: five Sum()s on one groupby
+    # measured 12 s at sf0.1 (per-column fold overhead). A user-hash
+    # bucket co-group with ONE vectorized in-group pandas sum is the
+    # same single shuffle at 0.5 s, and group size is bounded by bucket
+    # width, not by users.
+    nb = 64
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = (df["user_id"].to_numpy() % nb).astype(np.int64)
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("user_id", sort=False, as_index=False)[cols].sum()
+        )
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(onehot, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("b")
+        .map_groups(lambda g: fold(g.drop(columns=["b"])),
+                    batch_format="pandas")
+    )
+
+
+PIVOT_EVENTS_SQL = r"""
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+ROLLUP_SALES_SQL = r"""
+SELECT coalesce(l_returnflag, '::ALL::') AS l_returnflag,
+       coalesce(l_linestatus, '::ALL::') AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def revenue_by_nation_q(sf_dir: str):
     """TPC-H-Q5-style multi-join rollup: revenue per ASIA nation where the
     customer and the supplier share the nation — the composition query
@@ -3381,4 +3511,6 @@ SQL_PAIRED = {
     "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
     "triangle_count": (triangle_count_q, TRIANGLE_COUNT_SQL),
     "revenue_by_nation": (revenue_by_nation_q, REVENUE_BY_NATION_SQL),
+    "rollup_sales": (rollup_sales_q, ROLLUP_SALES_SQL),
+    "pivot_events": (pivot_events_q, PIVOT_EVENTS_SQL),
 }
