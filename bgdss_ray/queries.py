@@ -246,13 +246,37 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 # --------------------------------------------------------------- q07
 def latest_event_per_user(sf_dir: str):
     """Per-group argmax by timestamp (newest-file-wins,
-    mds_saldo.py:814-817): each user's latest event."""
+    mds_saldo.py:814-817): each user's latest event.
+
+    Distributed shape: a per-batch partial-argmax combiner (each batch
+    keeps one row per user it saw) compacts the stream, then ONE
+    user-hash bucket shuffle co-locates the partials and the whole bucket
+    resolves vectorized (sort + drop_duplicates). The former
+    ``groupby(user_id).map_groups`` made one python call PER USER —
+    O(users) calls on a 10^9-user stream; this makes O(buckets), the
+    sessionize pattern."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    n_buckets = max(32, ds.count() // 100_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], ascending=False,
+                            kind="mergesort")
+        df = df.drop_duplicates("user_id", keep="first").copy()
+        df["_b"] = (df["user_id"].to_numpy(dtype=np.int64)
+                    % n_buckets).astype(np.int64)
+        return df
 
     def newest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+        g = g.sort_values(["ts", "event_id"], ascending=False,
+                          kind="mergesort")
+        g = g.drop_duplicates("user_id", keep="first")
+        return g[["event_id", "user_id", "ts", "event_type", "value"]]
 
-    return ds.groupby("user_id").map_groups(newest, batch_format="pandas")
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(newest, batch_format="pandas")
+    )
 
 
 LATEST_EVENT_PER_USER_SQL = """
@@ -534,15 +558,31 @@ GROUP BY 1
 
 # --------------------------------------------------------------- q18
 def topk_per_group(sf_dir: str):
-    """Top-3 orders per priority class (windowed top-k)."""
+    """Top-3 orders per priority class (windowed top-k).
+
+    Distributed shape (the ``stratified_sample`` combiner): every batch
+    keeps only its own per-group top-3, so the ``groupby`` shuffle moves
+    O(blocks x groups x 3) partial rows — never a whole priority class in
+    one frame (a 5-value key means one class is ~20% of a 100 TB orders
+    table; the former whole-group ``map_groups`` co-located it)."""
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    K = 3
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(3)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+        return df.groupby("o_orderpriority", sort=False).head(K)
 
-    return ds.groupby("o_orderpriority").map_groups(top3, batch_format="pandas")
+    def heads(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(K)
+        return g[["o_orderkey", "o_orderpriority", "o_totalprice"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(heads, batch_format="pandas")
+    )
 
 
 TOPK_PER_GROUP_SQL = """
@@ -785,27 +825,70 @@ FROM events e ASOF LEFT JOIN ded d
 # --------------------------------------------------------------- q24
 def banded_event_pairs(sf_dir: str):
     """Banded range join (non-equi): per event, the count of the same
-    user's OTHER events within ±5 minutes. One groupby(user) shuffle
-    co-locates each key; inside the group the band predicate is two
-    vectorized searchsorted passes over the sorted timestamps — no
-    pairwise expansion (the naive self-join is O(n²) per key)."""
+    user's OTHER events within ±5 minutes. ONE user-hash bucket shuffle
+    co-locates keys (O(buckets) python calls, the sessionize pattern —
+    the former per-user ``map_groups`` made one call per user); inside
+    the bucket the band predicate is two vectorized searchsorted passes
+    over a composite (user, ts) key — no pairwise expansion (the naive
+    self-join is O(n²) per key)."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
-    band = pd.Timedelta(minutes=5)
+    band_us = np.int64(5 * 60 * 1_000_000)
+    n_buckets = max(32, ds.count() // 100_000)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].to_numpy(dtype=np.int64)
+                    % n_buckets).astype(np.int64)
+        return df
 
     def nearby(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        ts = g["ts"].to_numpy()
-        lo = np.searchsorted(ts, ts - band.to_timedelta64(), side="left")
-        hi = np.searchsorted(ts, ts + band.to_timedelta64(), side="right")
+        # One bucket holds MANY users; the band count runs as ONE
+        # vectorized searchsorted pair over a composite (user, ts) key
+        # that is globally monotone in the user-major sort — the user
+        # stride exceeds the bucket's ts span + band on both sides, so a
+        # query key can never bleed into a neighboring user's range.
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ts_rel = ts - ts.min() if len(ts) else ts
+        codes = np.cumsum(np.r_[np.int64(0), (uid[1:] != uid[:-1])
+                                .astype(np.int64)])
+        width = (np.int64(ts_rel.max()) if len(ts_rel) else np.int64(0)) \
+            + 2 * band_us + 2
+        n_codes = int(codes[-1]) + 1 if len(codes) else 0
+        if n_codes and n_codes > (2**62) // int(width):
+            # overflow fallback: per-user slice searchsorted (python per
+            # user only on this path; unreachable under data-derived
+            # bucket fan-out unless the ts span is ~centuries)
+            starts = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]),
+                           len(uid)]
+            lo = np.empty(len(uid), dtype=np.int64)
+            hi = np.empty(len(uid), dtype=np.int64)
+            for s, e in zip(starts[:-1], starts[1:]):
+                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - band_us,
+                                              side="left")
+                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + band_us,
+                                              side="right")
+        else:
+            key = codes * width + ts_rel
+            lo = np.searchsorted(key, codes * width + (ts_rel - band_us),
+                                 side="left")
+            hi = np.searchsorted(key, codes * width + (ts_rel + band_us),
+                                 side="right")
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
+                "user_id": uid,
                 "n_nearby": (hi - lo - 1).astype("int64"),
             }
         )
 
-    return ds.groupby("user_id").map_groups(nearby, batch_format="pandas")
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(lambda g: nearby(g.drop(columns=["_b"])),
+                    batch_format="pandas")
+    )
 
 
 BANDED_EVENT_PAIRS_SQL = """
