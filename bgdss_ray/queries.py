@@ -596,18 +596,110 @@ SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
 # --------------------------------------------------------------- q19
 def running_totals(sf_dir: str):
     """Ordered running sum per event_type (incremental streaming state:
-    partition by key, process in ts order)."""
-    ds = _pq(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    partition by key, process in ts order).
 
-    def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        cents = np.floor(g["value"] * 100 + 0.5).astype("int64")
+    Distributed prefix sum — the former plan co-located a WHOLE
+    event_type (a ~5-value key: one group ≈ 20% of a 100 TB stream) in a
+    single frame. Now: (1) one streaming pass emits per-(type, ts-hour)
+    sum/count partials (per-batch combiner) compacted by a tiny groupby,
+    so only O(types × hours) rows ever reach the driver; (2) the driver
+    splits the hour axis into count-balanced ranges and derives each
+    (type, range)'s EXCLUSIVE prefix offset; (3) ONE ts-range bucket
+    shuffle co-locates each range — an hour unit is never split, so
+    in-bucket (ts, event_id) order is complete — and the bucket cumsums
+    vectorized (one grouped cumsum + the broadcast offset). Group size is
+    bounded by the count-balanced range width at ANY key skew; all adds
+    are exact int64 cents, so the result is order-independent."""
+    from .ops.frames import arrow_frame
+
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    n_rows = ds.count()  # parquet-metadata count, no scan
+    n_buckets = max(32, n_rows // 250_000)
+    HOUR_US = 3_600_000_000
+    _P = pa.schema([("event_type", pa.string()), ("hr", pa.int64()),
+                    ("cents", pa.int64()), ("n", pa.int64())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        f = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "hr": ts_us // HOUR_US,
+                "cents": np.floor(
+                    df["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        out = f.groupby(["event_type", "hr"], sort=False, as_index=False).agg(
+            cents=("cents", "sum"), n=("cents", "size")
+        )
+        return arrow_frame(out, _P)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    # count-balanced hour→bucket assignment + per-(type, bucket) exclusive
+    # prefix offsets — O(types × hours) driver work, broadcast via ray.put
+    hr_tot = parts.groupby("hr", sort=True)["n"].sum()
+    hrs = hr_tot.index.to_numpy(dtype=np.int64)
+    cum = hr_tot.to_numpy(dtype=np.int64).cumsum()
+    target = -(-int(n_rows) // int(n_buckets))  # ceil
+    bucket_of_hr = np.minimum((cum - 1) // target, n_buckets - 1).astype(np.int64)
+    parts = parts.sort_values("hr", kind="mergesort")
+    parts["_b"] = bucket_of_hr[np.searchsorted(hrs, parts["hr"].to_numpy())]
+    pb = (
+        parts.groupby(["event_type", "_b"], as_index=False)["cents"]
+        .sum()
+        .sort_values(["event_type", "_b"], kind="mergesort")
+    )
+    pb["off"] = pb.groupby("event_type")["cents"].cumsum() - pb["cents"]
+    offsets = {
+        (t, int(b)): int(o)
+        for t, b, o in zip(pb["event_type"], pb["_b"], pb["off"])
+    }
+    hrs_ref = ray.put(hrs)
+    bkt_ref = ray.put(bucket_of_hr)
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        # empty-safe: every op below preserves dtypes on a 0-row frame
+        hrs_a, bkt_a = ray.get(hrs_ref), ray.get(bkt_ref)
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        df = df.copy()
+        df["_b"] = bkt_a[np.searchsorted(hrs_a, ts_us // HOUR_US)]
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        b = int(g["_b"].iloc[0])
+        g = g.sort_values(["event_type", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(
+            g["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        run = (
+            pd.Series(cents).groupby(g["event_type"].to_numpy()).cumsum()
+            .to_numpy()
+        )
+        by_type = {t: offs.get((t, b), 0)
+                   for t in pd.unique(g["event_type"])}
+        base = g["event_type"].map(by_type).to_numpy(dtype=np.int64)
         return pd.DataFrame(
-            {"event_id": g["event_id"], "event_type": g["event_type"],
-             "cum_value_cents": cents.cumsum()}
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "cum_value_cents": run + base,
+            }
         )
 
-    return ds.groupby("event_type").map_groups(cum, batch_format="pandas")
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(lambda g: fold(g), batch_format="pandas")
+    )
 
 
 RUNNING_TOTALS_SQL = """
@@ -943,33 +1035,107 @@ LIMIT 100
 # --------------------------------------------------------------- q26
 def price_percentiles(sf_dir: str):
     """Exact discrete percentiles (p50/p90/p99 of order totalprice, in
-    integer cents) per order priority: groupby co-location + numpy
-    quantile with the 'inverted_cdf' (discrete) method — matches DuckDB's
-    quantile_disc bit-for-bit because both pick an actual data point."""
+    integer cents) per order priority — quantile_disc semantics (smallest
+    x with CDF(x) >= p, an actual data point) preserved exactly.
+
+    Distributed shape (the former plan co-located a WHOLE priority class
+    — a 5-value key — in one frame): (1) one streaming pass histograms
+    cents into fixed 4096-cent bins per (priority, bin) with a per-batch
+    combiner + tiny compaction groupby — O(groups × bins) rows reach the
+    driver regardless of data size; (2) the driver walks each group's CDF
+    to find, for each percentile, its bin and the 1-based rank INSIDE the
+    bin; (3) a second targeted pass value-counts ONLY the ≤3 hit bins per
+    group (≤4096 distinct cents per bin, so the compacted result is
+    bounded by the bin width, not the data) and the driver picks the
+    exact order statistic. Two streaming passes, no unbounded group."""
+    from .ops.frames import arrow_frame
+
     ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    SHIFT = 12  # 4096-cent histogram bins
+    _H = pa.schema([("o_orderpriority", pa.string()), ("hb", pa.int64()),
+                    ("n", pa.int64())])
 
-    def pct(g: pd.DataFrame) -> pd.DataFrame:
-        cents = np.sort(
-            np.floor(g["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    def _cents(df: pd.DataFrame) -> np.ndarray:
+        return np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        f = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].to_numpy(),
+             "hb": _cents(df) >> SHIFT}
         )
-        n = len(cents)
-
-        def q(p: float) -> int:
-            # quantile_disc: smallest x with CDF(x) >= p
-            idx = int(np.ceil(p * n)) - 1
-            return int(cents[max(0, idx)])
-
-        return pd.DataFrame(
-            [{
-                "o_orderpriority": g["o_orderpriority"].iloc[0],
-                "n_orders": np.int64(n),
-                "p50_cents": q(0.5),
-                "p90_cents": q(0.9),
-                "p99_cents": q(0.99),
-            }]
+        out = (
+            f.groupby(["o_orderpriority", "hb"], sort=False)
+            .size().rename("n").reset_index()
         )
+        return arrow_frame(out, _H)
 
-    return ds.groupby("o_orderpriority").map_groups(pct, batch_format="pandas")
+    hist_df = (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby(["o_orderpriority", "hb"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    PS = [("p50_cents", 0.5), ("p90_cents", 0.9), ("p99_cents", 0.99)]
+    targets: dict[tuple, list] = {}  # (prio, bin) -> [(pct_col, in-bin rank)]
+    rows: dict[str, dict] = {}
+    for prio, gr in hist_df.groupby("o_orderpriority", sort=True):
+        gr = gr.sort_values("hb", kind="mergesort")
+        hbs = gr["hb"].to_numpy(dtype=np.int64)
+        cum = gr["n"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        rows[prio] = {"n_orders": np.int64(n)}
+        for col, p in PS:
+            k = int(np.ceil(p * n))  # 1-based global rank (CDF >= p)
+            j = int(np.searchsorted(cum, k, side="left"))
+            before = int(cum[j - 1]) if j else 0
+            targets.setdefault((prio, int(hbs[j])), []).append((col, k - before))
+
+    tset = frozenset(targets)
+    _V = pa.schema([("o_orderpriority", pa.string()), ("hb", pa.int64()),
+                    ("cents", pa.int64()), ("n", pa.int64())])
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        cents = _cents(df)
+        f = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].to_numpy(),
+             "hb": cents >> SHIFT, "cents": cents}
+        )
+        key = pd.MultiIndex.from_arrays([f["o_orderpriority"], f["hb"]])
+        f = f[key.isin(tset)]
+        out = (
+            f.groupby(["o_orderpriority", "hb", "cents"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        return arrow_frame(out, _V)
+
+    vals = (
+        ds.map_batches(pick, batch_format="pandas")
+        .groupby(["o_orderpriority", "hb", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    for (prio, hb), wants in targets.items():
+        sub = vals[
+            (vals["o_orderpriority"] == prio) & (vals["hb"] == hb)
+        ].sort_values("cents", kind="mergesort")
+        ccum = sub["n"].to_numpy(dtype=np.int64).cumsum()
+        cvals = sub["cents"].to_numpy(dtype=np.int64)
+        for col, r in wants:
+            rows[prio][col] = np.int64(
+                cvals[int(np.searchsorted(ccum, r, side="left"))]
+            )
+
+    out = pd.DataFrame(
+        [{"o_orderpriority": prio, **rows[prio]} for prio in sorted(rows)]
+    )
+    for c in ("n_orders", "p50_cents", "p90_cents", "p99_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["o_orderpriority", "n_orders",
+                "p50_cents", "p90_cents", "p99_cents"]]
 
 
 PRICE_PERCENTILES_SQL = """
@@ -3066,6 +3232,10 @@ def pivot_events_q(sf_dir: str):
     cols = [f"n_{t}" for t in types]
 
     def onehot(t: pa.Table, _types=tuple(types)) -> pd.DataFrame:
+        if not t.num_rows:  # typed empty: crosstab on a 0-row frame
+            from .ops.frames import typed_empty  # yields NO columns at all
+            return typed_empty({"user_id": "int64",
+                                **{f"n_{c}": "int64" for c in _types}})
         df = pd.DataFrame(
             {"user_id": t.column("user_id").to_numpy(zero_copy_only=False),
              "event_type": t.column("event_type").to_pandas()}
