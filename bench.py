@@ -112,18 +112,18 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("rollup_sales", SQL_PAIRED["rollup_sales"][0]),
         ("pivot_events", SQL_PAIRED["pivot_events"][0]),
     ]
+    import pandas as pd
+    import pyarrow as pa
+
     times: dict[str, float] = {}
     for name, fn in suite:
         t0 = time.perf_counter()
         res = fn(sf_dir)
-        # consume: Datasets are lazy — force execution without driver bloat
-        if hasattr(res, "count") and not hasattr(res, "columns"):
-            res.count() if not hasattr(res, "num_rows") else None
-        if hasattr(res, "to_pandas") and not isinstance(res, __import__("pandas").DataFrame):
-            try:
-                res = res.to_pandas()
-            except Exception:
-                pass
+        # consume ONCE: a lazy Dataset is executed fully by materialize()
+        # (blocks stay in the object store — no driver bloat, and no
+        # count()+to_pandas() double execution); eager results are done.
+        if not isinstance(res, (pd.DataFrame, pa.Table)):
+            res.materialize()
         times[name] = round(time.perf_counter() - t0, 3)
     return times
 

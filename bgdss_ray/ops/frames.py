@@ -14,7 +14,54 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["typed_empty", "with_typed_empty", "arrow_frame"]
+__all__ = ["typed_empty", "with_typed_empty", "arrow_frame", "co_group_blocks"]
+
+
+def co_group_blocks(ds, key: str, fn, schema: pa.Schema):
+    """Bucket co-group without the schema-less-empty-block wart.
+
+    ``groupby(key).map_groups(fn)`` compiles to ``sort(key)`` + one wrapper
+    call per sorted block; for an EMPTY sort partition Ray's wrapper yields
+    nothing and the operator emits a schema-less empty block (the
+    RefBundle-warning / tfidf-r3-abort wart — unreachable from the UDF,
+    which never runs). This helper is the same physical plan with two
+    changes: ``fn`` runs once per BLOCK (a concatenation of whole groups —
+    Ray's sort keeps equal key values in one block, the exact guarantee
+    ``map_groups`` itself relies on), and an empty partition yields
+    ``schema.empty_table()``.
+
+    Contract: ``fn`` must be KEY-LOCAL — ``fn(concat of groups)`` row-equal
+    to ``concat of fn(group)`` — true for any per-key combiner (per-src
+    degree/rank folds, per-dst partial sums, per-key merges). ``fn`` takes
+    the block as pandas (key column included, like map_groups) and returns
+    pandas or Arrow; output is cast to ``schema``. Fewer Python calls than
+    map_groups (O(blocks), not O(groups)) and every emitted block provably
+    carries ``schema``.
+
+    Known residual (Ray-internal, cosmetic): the Sort operator ITSELF
+    emits a zero-field Arrow block per empty range partition (duplicate
+    sampled boundaries on a low-cardinality key), logging
+    ``new schema: .`` warnings before this wrapper ever runs — verified
+    with a minimal sort+typed-map repro on Ray 2.49.2. Those blocks are
+    empty, so no data mixes schemas; the dangerous class (UDF-emitted
+    untyped PANDAS empties unioned with typed blocks — the tfidf r3
+    abort) is what this helper eliminates."""
+
+    def wrapper(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        out = fn(t.to_pandas())
+        if isinstance(out, pd.DataFrame):
+            if not len(out):
+                return schema.empty_table()
+            return pa.Table.from_pandas(out, schema=schema,
+                                        preserve_index=False)
+        return out.cast(schema)
+
+    wrapper.__name__ = getattr(fn, "__name__", "co_group")
+    return ds.sort(key).map_batches(
+        wrapper, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def arrow_frame(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:

@@ -49,6 +49,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .frames import co_group_blocks
+
 SCALE = 1_000_000
 BASE = 150_000  # 15% of SCALE — the damping teleport share
 
@@ -84,12 +86,13 @@ def _state_rows(node: np.ndarray, val: np.ndarray, nb: int) -> pa.Table:
 
 
 def _iterate(edges, n_iter: int, num_partitions: int | None, make_step,
-             fold_final):
+             fold_final, final_schema: pa.Schema):
     """Run ``n_iter`` rounds of ``step = make_step(nb)`` over the bucket
     co-group of (edges ∪ state), then ``fold_final`` per bucket.
-    ``step(g, first)`` sees a pandas group with columns (b, src, dst, v)
-    — edge rows have dst >= 0 and v = 0, state rows dst = -1 — and must
-    return state rows (:func:`_state_rows`). Lazy end to end; only the
+    ``step(g, first)`` sees a pandas frame of whole buckets with columns
+    (b, src, dst, v) — edge rows have dst >= 0 and v = 0, state rows
+    dst = -1 — and must return state rows (:func:`_state_rows`); it must
+    be key-local (see :func:`co_group_blocks`). Lazy end to end; only the
     normalized edge table is pinned."""
 
     def norm(t: pa.Table) -> pa.Table:
@@ -109,8 +112,15 @@ def _iterate(edges, n_iter: int, num_partitions: int | None, make_step,
     nb = num_partitions
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # emit the SAME column order as _state_rows (b, src, dst, v):
+        # the union that follows must not depend on Ray's shuffle
+        # tolerating heterogeneous column order across blocks
         src = t.column("src").to_numpy(zero_copy_only=False)
-        return t.append_column("b", pa.array(_bucket_i64(src, nb)))
+        return pa.Table.from_arrays(
+            [pa.array(_bucket_i64(src, nb)),
+             t.column("src"), t.column("dst"), t.column("v")],
+            names=["b", "src", "dst", "v"],
+        )
 
     step = make_step(nb)
     parts = None
@@ -118,11 +128,16 @@ def _iterate(edges, n_iter: int, num_partitions: int | None, make_step,
         eb = edges_m.map_batches(add_bucket, batch_format="pyarrow")
         cur = eb if parts is None else eb.union(parts)
         first = i == 0
-        parts = cur.groupby("b").map_groups(
-            lambda g, _f=first: step(g, _f), batch_format="pandas"
+        # co_group_blocks, not groupby().map_groups: step/fold are
+        # key-local (all combines are per-src/per-dst), so one call per
+        # sorted block is semantics-identical with O(blocks) python calls
+        # — and empty sort partitions emit TYPED empties instead of the
+        # schema-less blocks Ray's map_groups wrapper sprays
+        parts = co_group_blocks(
+            cur, "b", lambda g, _f=first: step(g, _f), _EMPTY_STEP.schema
         )
 
-    return parts.groupby("b").map_groups(fold_final, batch_format="pandas")
+    return co_group_blocks(parts, "b", fold_final, final_schema)
 
 
 def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
@@ -151,6 +166,18 @@ def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
                     .sum()
                 )
                 rk["v"] = rk["v"].to_numpy(dtype=np.int64) + BASE
+                # raised-error contract: edges are bucketed by SRC, so all
+                # of a node's out-edges co-locate with its state row — a
+                # state src absent from e has outdeg 0 and its rank mass
+                # would silently vanish (generic callers: add a sink
+                # handling term or make the graph bidirectional first)
+                dangling = ~rk["src"].isin(e["src"])
+                if dangling.any():
+                    raise ValueError(
+                        "pagerank: node(s) with rank mass but outdeg 0 "
+                        f"(e.g. {rk.loc[dangling, 'src'].iloc[0]}); the "
+                        "contract requires outdeg >= 1 for every node"
+                    )
                 m = e.merge(rk, on="src", how="inner", sort=False)
                 rank = m["v"].to_numpy(dtype=np.int64)
             c = (rank * 85) // (100 * m["deg"].to_numpy(dtype=np.int64))
@@ -179,7 +206,9 @@ def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
             }
         )
 
-    return _iterate(edges, n_iter, num_partitions, make_step, fold_final)
+    schema = pa.schema([("node_id", pa.int64()), ("rank", pa.int64())])
+    return _iterate(edges, n_iter, num_partitions, make_step, fold_final,
+                    schema)
 
 
 def labelprop(edges, n_iter: int = 3, num_partitions: int | None = None):
@@ -239,7 +268,9 @@ def labelprop(edges, n_iter: int = 3, num_partitions: int | None = None):
             }
         )
 
-    return _iterate(edges, n_iter, num_partitions, make_step, fold_final)
+    schema = pa.schema([("node_id", pa.int64()), ("label", pa.int64())])
+    return _iterate(edges, n_iter, num_partitions, make_step, fold_final,
+                    schema)
 
 
 def lineitem_edges(ds):
@@ -290,11 +321,10 @@ def copurchase_edges(li):
              "v": m["l_partkey_b"].to_numpy(dtype=np.int64)}
         )
 
-    return (
-        li.map_batches(bucket, batch_format="pyarrow")
-        .groupby("b")
-        .map_groups(lambda g: pairs(g.drop(columns=["b"])),
-                    batch_format="pandas")
+    return co_group_blocks(
+        li.map_batches(bucket, batch_format="pyarrow"),
+        "b", pairs,  # key-local on l_orderkey (self-merge per order)
+        pa.schema([("u", pa.int64()), ("v", pa.int64())]),
     )
 
 
@@ -351,7 +381,9 @@ def triangle_count(edges, num_partitions: int = 64) -> pd.DataFrame:
         a = w["a"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
-                "b": _bucket_i64(a, nb).astype(np.int64),
+                # int32 like tag(): every block of the union carries ONE
+                # schema (the r4 bench tail had an int64-vs-int32 'b' here)
+                "b": _bucket_i64(a, nb),
                 "u": a,
                 "v": w["b2"].to_numpy(dtype=np.int64),
                 "c": w["size"].to_numpy(dtype=np.int64),
@@ -359,9 +391,11 @@ def triangle_count(edges, num_partitions: int = 64) -> pd.DataFrame:
             }
         )
 
-    wedge_parts = (
-        edges_t.groupby("b").map_groups(wedges, batch_format="pandas")
+    tag_schema = pa.schema(
+        [("b", pa.int32()), ("u", pa.int64()), ("v", pa.int64()),
+         ("c", pa.int64()), ("kind", pa.int64())]
     )
+    wedge_parts = co_group_blocks(edges_t, "b", wedges, tag_schema)
 
     def close(g: pd.DataFrame) -> pd.DataFrame:
         is_e = g["kind"].to_numpy() == 0
@@ -376,16 +410,11 @@ def triangle_count(edges, num_partitions: int = 64) -> pd.DataFrame:
             }
         )
 
-    def to_pd_block(t: pa.Table) -> pd.DataFrame:
-        return t.to_pandas()
-
-    parts = (
-        edges_t.map_batches(to_pd_block, batch_format="pyarrow")
-        .union(wedge_parts)
-        .groupby("b")
-        .map_groups(close, batch_format="pandas")
-        .to_pandas()
-    )
+    parts = co_group_blocks(
+        edges_t.union(wedge_parts), "b", close,
+        pa.schema([("n_edges", pa.int64()), ("n_wedges", pa.int64()),
+                   ("n_triangles", pa.int64())]),
+    ).to_pandas()
     return pd.DataFrame(
         {
             "n_edges": [np.int64(parts["n_edges"].sum())],

@@ -21,6 +21,15 @@ import pandas as pd
 import pyarrow as pa
 
 
+def derived_partitions(n_rows: int, rows_per_partition: int = 500_000,
+                       floor: int = 8) -> int:
+    """Shuffle/join fan-out sized by ROW COUNT (the tfidf rule): ~500k rows
+    per partition keeps per-partition frames bounded by data at any corpus
+    scale while avoiding pure-overhead partitions on small inputs. Pass the
+    LARGER side's count (a parquet-metadata count is free)."""
+    return max(floor, int(n_rows) // rows_per_partition + 1)
+
+
 def native_join(left, right, on: str, right_on: str | None = None,
                 num_partitions: int = 16, join_type: str = "inner"):
     return left.join(

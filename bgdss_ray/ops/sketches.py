@@ -198,7 +198,12 @@ def hll_distinct_by(ds, group_col: str, col: str, p: int = 12) -> pd.DataFrame:
     exact = dict(zip(ex[group_col].astype(str), ex["exact"].astype(int)))
 
     rows = []
-    for grp in sorted(merged):
+    # Ordering contract: groups are emitted in UTF-8 BYTEWISE order (the
+    # explicit encode key — for valid UTF-8 this equals codepoint order),
+    # which may differ from a SQL engine's collation for non-ASCII keys.
+    # The SQL pairing is order-insensitive (both sides re-sorted before
+    # comparison); consumers of raw output must not assume SQL collation.
+    for grp in sorted(merged, key=lambda s: s.encode("utf-8")):
         est = merged[grp].estimate()
         xc = exact.get(grp, 0)
         rows.append(

@@ -101,11 +101,14 @@ def flagship(sf_dir: str):
         )
 
     # co-keyed one-to-one enrich: a real hash-partitioned Dataset.join on
-    # doc_id — neither side is ever collected to the driver
+    # doc_id — neither side is ever collected to the driver; fan-out
+    # derives from the corpus row count (the tfidf rule), not a constant
+    from .ops.joins import derived_partitions
+
     joined = res.join(
         scored.map_batches(slim, batch_format="pandas"),
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=derived_partitions(docs.count()),
         on=("doc_id",),
     )
 

@@ -175,9 +175,14 @@ def customer_order_counts(sf_dir: str):
     A real hash-partitioned ``Dataset.join`` — the per-customer counts side
     is itself corpus-sized at scale, so neither side is ever collected or
     broadcast (the former driver-dict version was O(customers) driver
-    memory)."""
+    memory). Join fan-out derives from the larger side's row count
+    (ops/joins.derived_partitions — the tfidf rule), never a constant."""
+    from .ops.joins import derived_partitions
+
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+    n_parts = derived_partitions(orders.count())
     counts = (
-        _pq(sf_dir, "orders", ["o_custkey"])
+        orders
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"))
         .map_batches(
@@ -187,7 +192,8 @@ def customer_order_counts(sf_dir: str):
     )
     ds = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = ds.join(
-        counts, join_type="left_outer", num_partitions=8, on=("c_custkey",)
+        counts, join_type="left_outer", num_partitions=n_parts,
+        on=("c_custkey",)
     )
 
     def fill(df: pd.DataFrame) -> pd.DataFrame:
@@ -526,13 +532,14 @@ FROM s GROUP BY 1, 2
 def hash_join_revenue(sf_dir: str):
     """Both-sides-large join: orders ⋈ customer via Ray's hash-partitioned
     Dataset.join (the explicit bucketed pattern lives in ops/joins.py,
-    tested equal), then revenue per nation."""
-    from .ops.joins import native_join
+    tested equal), then revenue per nation. Join fan-out derives from the
+    larger side's row count (the tfidf rule), never a constant."""
+    from .ops.joins import derived_partitions, native_join
 
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = native_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                         num_partitions=8)
+                         num_partitions=derived_partitions(orders.count()))
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1007,14 +1014,25 @@ def deterministic_sample(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        keys = [_hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        order = np.argsort(np.asarray(keys))[:k]
+        # md5 hex-string order == digest byte order == big-endian numeric
+        # order: rank via a numpy lexsort over two >u8 views of the raw
+        # digests (full 128 bits, so no tie ambiguity) and render the hex
+        # string — the SQL-paired output column — only for the k
+        # survivors. No hexdigest/python-string sort over the full batch.
+        m = _hashlib.md5
+        buf = b"".join(
+            m(str(i).encode()).digest() for i in t.column("doc_id").to_pylist()
+        )
+        d = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)
+        hi, lo = d[:, :8].view(">u8").ravel(), d[:, 8:].view(">u8").ravel()
+        order = np.lexsort((lo, hi))[:k]
+        sel = pa.array(order)
         return pa.Table.from_arrays(
             [
-                t.column("doc_id").take(pa.array(order)),
-                t.column("n_chars").take(pa.array(order)),
-                pa.array([keys[i] for i in order], type=pa.string()),
+                t.column("doc_id").take(sel),
+                t.column("n_chars").take(sel),
+                pa.array([d[i].tobytes().hex() for i in order],
+                         type=pa.string()),
             ],
             names=["doc_id", "n_chars", "sample_key"],
         )
