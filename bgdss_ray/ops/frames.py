@@ -64,6 +64,51 @@ def co_group_blocks(ds, key: str, fn, schema: pa.Schema):
     )
 
 
+def co_group(ds, key: str, fn, schema):
+    """Drop-in ``groupby(key).map_groups(fn)`` with typed empty partitions.
+
+    Exactly map_groups semantics — ``fn`` is called once per GROUP (the
+    sorted block is sliced at key boundaries, like Ray's own
+    ``_apply_udf_to_groups``) — so no key-locality audit is needed; the
+    only difference is that an empty sort partition emits
+    ``schema.empty_table()`` instead of Ray's schema-less block (see
+    :func:`co_group_blocks` for the wart). Use :func:`co_group_blocks`
+    instead when ``fn`` is key-local (fewer Python calls).
+
+    ``schema`` may be a ``pa.Schema`` or a zero-argument callable returning
+    one (for output schemas only known at runtime, e.g. a data-derived
+    pivot vocabulary)."""
+
+    def wrapper(t: pa.Table):
+        sch = schema() if callable(schema) else schema
+        if t.num_rows == 0:
+            return sch.empty_table()
+        df = t.to_pandas()
+        k = df[key].to_numpy()
+        # sorted by key: group boundaries are where adjacent keys differ
+        import numpy as np
+
+        bounds = np.flatnonzero(k[1:] != k[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(df)]])
+        outs = []
+        for s, e in zip(starts, ends):
+            out = fn(df.iloc[s:e])
+            if isinstance(out, pa.Table):
+                out = out.to_pandas()
+            if len(out):
+                outs.append(out)
+        if not outs:
+            return sch.empty_table()
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    schema=sch, preserve_index=False)
+
+    wrapper.__name__ = getattr(fn, "__name__", "co_group")
+    return ds.sort(key).map_batches(
+        wrapper, batch_size=None, batch_format="pyarrow"
+    )
+
+
 def arrow_frame(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
     """A combiner's pandas result as an Arrow block with an EXPLICIT
     schema. Preferred over returning the DataFrame: empty Arrow tables

@@ -131,6 +131,17 @@ def asof_join_backward(
     r_types = dict(zip(r_schema.names, r_schema.types))
     r_keep = [right_by, right_on] + right_value_cols
 
+    # ONE __t type across both tagged sides: the two time columns may
+    # carry different timestamp units (e.g. events ts[us] vs orders
+    # date[s]) and a unit-mixed union is a real heterogeneous-schema
+    # stream. Microseconds is exact for s/ms/us storage.
+    t_type = l_types[left_on]
+    if t_type != r_types[right_on]:
+        if pa.types.is_timestamp(t_type):
+            t_type = pa.timestamp("us")
+        else:
+            t_type = pa.int64()
+
     def _bucket_of(col) -> pa.Array:
         v = col.to_numpy(zero_copy_only=False)
         if v.dtype.kind in "iu":
@@ -146,7 +157,8 @@ def asof_join_backward(
         return pa.array((h % np.uint64(n_buckets)).astype(np.int32))
 
     def tag_left(t: pa.Table) -> pa.Table:
-        arrays = [t.column(left_by), t.column(left_on), _bucket_of(t.column(left_by))]
+        arrays = [t.column(left_by), t.column(left_on).cast(t_type),
+                  _bucket_of(t.column(left_by))]
         names = ["__k", "__t", "__b"]
         for c in l_cols:
             arrays.append(t.column(c))
@@ -160,7 +172,8 @@ def asof_join_backward(
 
     def tag_right(t: pa.Table) -> pa.Table:
         t = t.select(r_keep)
-        arrays = [t.column(right_by), t.column(right_on), _bucket_of(t.column(right_by))]
+        arrays = [t.column(right_by), t.column(right_on).cast(t_type),
+                  _bucket_of(t.column(right_by))]
         names = ["__k", "__t", "__b"]
         for c in l_cols:
             arrays.append(pa.nulls(t.num_rows, type=l_types[c]))
@@ -191,11 +204,21 @@ def asof_join_backward(
         )
         return merged[l_cols + out_r_cols]
 
-    out = lt.union(rt).groupby("__b").map_groups(merge_bucket, batch_format="pandas")
-    rename = {f"__r_{c}": c for c in [right_on] + right_value_cols}
-    return out.map_batches(
-        lambda df: df.rename(columns=rename), batch_format="pandas"
+    from .frames import co_group_blocks
+
+    out = co_group_blocks(
+        lt.union(rt), "__b", merge_bucket,
+        # key-local: merge_asof(by=__k) resolves per key ⊂ bucket
+        pa.schema([(c, l_types[c]) for c in l_cols]
+                  + [(f"__r_{c}", r_types[c])
+                     for c in [right_on] + right_value_cols]),
     )
+    rename = {f"__r_{c}": c for c in [right_on] + right_value_cols}
+
+    def do_rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([rename.get(c, c) for c in t.column_names])
+
+    return out.map_batches(do_rename, batch_format="pyarrow")
 
 
 def salted_bucketed_join(

@@ -555,8 +555,13 @@ def kmv_group_quantiles(ds, group_col: str, key_fn, cents_fn, ps,
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("g")
-        .map_groups(fold, batch_format="pandas")
+    from .frames import co_group
+
+    # co_group (per-GROUP, typed): fold takes whole-group state
+    # (grp["g"].iloc[0], one quantile set per group) — not key-local
+    return co_group(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "g", fold,
+        pa.schema([(group_col, pa.string()), ("p", pa.float64()),
+                   ("est_cents", pa.int64())]),
     )

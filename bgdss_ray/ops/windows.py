@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 DEFAULT_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 
@@ -89,13 +90,16 @@ def sessionize_events(ds, gap_us: int = DEFAULT_GAP_US,
         df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
         return df
 
-    return (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(
-            lambda g: sessionize_bucket(g.drop(columns=["bucket"]), gap_us),
-            batch_format="pandas",
-        )
+    from .frames import co_group_blocks
+
+    return co_group_blocks(
+        ds.map_batches(bucket, batch_format="pandas"),
+        "bucket",  # key-local: sessions are per user_id ⊂ bucket
+        lambda g: sessionize_bucket(g.drop(columns=["bucket"]), gap_us),
+        pa.schema([("user_id", pa.int64()), ("session_no", pa.int64()),
+                   ("n_events", pa.int64()), ("session_start", pa.int64()),
+                   ("session_end", pa.int64()),
+                   ("sum_value_cents", pa.int64())]),
     )
 
 

@@ -2530,10 +2530,14 @@ def tfidf_top_terms(sf_dir: str):
         g = g[g["rank"] <= 3]
         return g[["doc_id", "term", "tf", "df", "rank"]]
 
-    return (
-        joined.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(top3_bucket, batch_format="pandas")
+    from .ops.frames import co_group_blocks
+
+    return co_group_blocks(
+        joined.map_batches(add_bucket, batch_format="pandas"),
+        "bucket", top3_bucket,  # key-local: ranks are per doc_id ⊂ bucket
+        pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                   ("tf", pa.int64()), ("df", pa.int64()),
+                   ("rank", pa.int64())]),
     )
 
 
@@ -3221,6 +3225,10 @@ def rollup_sales_q(sf_dir: str):
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("sum_cents", alias_name="sum_cents"),
                    Sum("n_rows", alias_name="n_rows"))
+        # coalescing fold: Ray's aggregate emits schema-less empty blocks
+        # that bypass map_batches UDFs (the tfidf lesson); the result is
+        # O(levels × groups) rows, so one partition is the honest size
+        .repartition(1)
     )
 
     def fix_types(df: pd.DataFrame) -> pd.DataFrame:
@@ -3286,12 +3294,15 @@ def pivot_events_q(sf_dir: str):
             out[c] = out[c].astype("int64")
         return out
 
-    return (
+    from .ops.frames import co_group_blocks
+
+    return co_group_blocks(
         ds.map_batches(onehot, batch_format="pyarrow")
-        .map_batches(bucket, batch_format="pandas")
-        .groupby("b")
-        .map_groups(lambda g: fold(g.drop(columns=["b"])),
-                    batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas"),
+        "b",  # key-local: sums are per user_id ⊂ bucket
+        lambda g: fold(g.drop(columns=["b"])),
+        pa.schema([("user_id", pa.int64())]
+                  + [(c, pa.int64()) for c in cols]),
     )
 
 
@@ -3387,14 +3398,18 @@ def revenue_by_nation_q(sf_dir: str):
 
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    ordn = (
+    from .ops.frames import co_group_blocks
+
+    ordn = co_group_blocks(
         orders.map_batches(tag_orders, batch_format="pyarrow")
-        .union(cust.map_batches(tag_cust, batch_format="pyarrow"))
-        .groupby("b")
-        .map_groups(join_cust, batch_format="pandas")
+        .union(cust.map_batches(tag_cust, batch_format="pyarrow")),
+        "b", join_cust,  # key-local: merge key k determines bucket b
+        pa.schema([("b2", pa.int64()), ("o_orderkey", pa.int64()),
+                   ("cnat", pa.int64()), ("rev", pa.int64()),
+                   ("snat", pa.int64())]),
     )
 
-    def tag_line(t: pa.Table, _d=dims) -> pd.DataFrame:
+    def tag_line(t: pa.Table, _d=dims) -> pa.Table:
         nat_keys, smap = _ray.get(_d)
         lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
         sn = (
@@ -3411,13 +3426,16 @@ def revenue_by_nation_q(sf_dir: str):
             * 100.0 + 0.5
         ).astype(np.int64)
         keep = np.isin(sn, np.asarray(sorted(nat_keys)))
-        return pd.DataFrame(
+        # Arrow like the ordn side: every block of the union shares one
+        # block kind and schema
+        return pa.table(
             {
-                "b2": (lk[keep] % nb).astype(np.int64),
-                "o_orderkey": lk[keep].astype(np.int64),
-                "cnat": np.full(int(keep.sum()), -1, dtype=np.int64),
-                "rev": ep[keep] * (100 - dc[keep]),
-                "snat": sn[keep],
+                "b2": pa.array((lk[keep] % nb).astype(np.int64)),
+                "o_orderkey": pa.array(lk[keep].astype(np.int64)),
+                "cnat": pa.array(np.full(int(keep.sum()), -1,
+                                         dtype=np.int64)),
+                "rev": pa.array(ep[keep] * (100 - dc[keep])),
+                "snat": pa.array(sn[keep]),
             }
         )
 
@@ -3436,14 +3454,13 @@ def revenue_by_nation_q(sf_dir: str):
 
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    parts = (
-        ordn.union(li.map_batches(tag_line, batch_format="pyarrow"))
-        .groupby("b2")
-        .map_groups(join_line, batch_format="pandas")
-        .to_pandas()  # O(buckets × nations) partial rows — a third
-        # all-to-all just to sum ≤ buckets×5 rows measured ~2 s of pure
-        # overhead; the driver fold is the honest plan at any scale
-    )
+    parts = co_group_blocks(
+        ordn.union(li.map_batches(tag_line, batch_format="pyarrow")),
+        "b2", join_line,  # key-local: merge key o_orderkey determines b2
+        pa.schema([("snat", pa.int64()), ("rev", pa.int64())]),
+    ).to_pandas()  # O(buckets × nations) partial rows — a third
+    # all-to-all just to sum ≤ buckets×5 rows measured ~2 s of pure
+    # overhead; the driver fold is the honest plan at any scale
     total = parts.groupby("snat", as_index=False)["rev"].sum()
     return pd.DataFrame(
         {
