@@ -111,6 +111,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("revenue_by_nation", SQL_PAIRED["revenue_by_nation"][0]),
         ("rollup_sales", SQL_PAIRED["rollup_sales"][0]),
         ("pivot_events", SQL_PAIRED["pivot_events"][0]),
+        ("grouped_corr", SQL_PAIRED["grouped_corr"][0]),
+        ("event_transitions", SQL_PAIRED["event_transitions"][0]),
+        ("funnel_conversion", SQL_PAIRED["funnel_conversion"][0]),
+        ("semi_join_urgent", SQL_PAIRED["semi_join_urgent"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

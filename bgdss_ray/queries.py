@@ -3722,6 +3722,408 @@ def resolutions_q(sf_dir: str):
     return P.resolutions_pipeline(sf_dir)
 
 
+# ----------------------------------------------------------------------
+# Round-5 additions: six more training-data/analytics operator shapes the
+# family didn't cover — grouped mode, Markov transition counts, ordered
+# funnel, exact second-moment (correlation) partials, 2-D skyline with a
+# pareto-of-paretos combiner, and a both-sides-large SEMI join (the
+# complement of bloom_antijoin). All combiner/bucket physical plans; no
+# whole group, no per-row python, no driver-side big frame.
+
+
+_MODE_PARTIAL = pa.schema(
+    [("p_size", pa.int32()), ("p_brand", pa.string()), ("n", pa.int64())]
+)
+
+
+def mode_per_group(sf_dir: str):
+    """Grouped MODE (most frequent brand per part size), deterministic
+    tie-break on brand ascending.
+
+    Physical plan: per-batch ``value_counts`` partials (O(sizes x brands)
+    rows per block — the key pair is low-cardinality, the VALUES are not
+    co-located anywhere), ONE groupby over the pair key sums them, and the
+    argmax-per-size resolve runs on the O(sizes x brands) driver frame.
+    The naive shape (co-locate each size's rows and count in one frame)
+    is the unbounded low-cardinality group this repo's combiners exist to
+    avoid."""
+    from .ops.frames import arrow_frame
+
+    ds = _pq(sf_dir, "part", ["p_size", "p_brand"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cnt = (
+            df.groupby(["p_size", "p_brand"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return arrow_frame(cnt, _MODE_PARTIAL)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["p_size", "p_brand"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(sizes x brands) rows — bounded by key-pair card.
+    )
+    agg = agg.sort_values(["p_size", "n", "p_brand"],
+                          ascending=[True, False, True], kind="mergesort")
+    out = agg.drop_duplicates("p_size", keep="first").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["p_size", "p_brand", "n"]]
+
+
+MODE_PER_GROUP_SQL = """
+SELECT p_size, p_brand, n FROM (
+  SELECT p_size, p_brand, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY p_size
+                            ORDER BY COUNT(*) DESC, p_brand ASC) AS rn
+  FROM part GROUP BY p_size, p_brand) WHERE rn = 1
+"""
+
+
+_TRANS_PARTIAL = pa.schema(
+    [("prev_type", pa.string()), ("next_type", pa.string()),
+     ("n", pa.int64())]
+)
+
+
+def event_transitions(sf_dir: str):
+    """Markov transition counts: per user, count consecutive
+    (prev event_type -> next event_type) pairs in (ts, event_id) order —
+    the n-gram/transition-matrix step of a behavioral-sequence pipeline.
+
+    Physical plan: adjacency needs a user's rows co-located and ordered,
+    so ONE user-hash bucket shuffle; inside each bucket one vectorized
+    pass (mergesort + shift + same-user mask + pair value_counts) emits
+    O(types^2) partial rows per bucket, and a tiny final groupby sums
+    them. O(buckets) python calls; rides ``co_group_blocks`` (the
+    per-user fold is key-local, so empty sort partitions stay typed)."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_buckets = max(32, ds.count() // 100_000)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].to_numpy(dtype=np.int64)
+                    % n_buckets).astype(np.int64)
+        return df
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"prev_type": et[:-1][same],
+                            "next_type": et[1:][same]})
+        cnt = (
+            out.groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return cnt
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    partials = co_group_blocks(bucketed, "_b", pairs, _TRANS_PARTIAL)
+    return (
+        partials.groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+SELECT prev_type, next_type, COUNT(*) AS n FROM (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events)
+WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+_FUNNEL_PARTIAL = pa.schema(
+    [("_b", pa.int64()), ("user_id", pa.int64()),
+     ("ts_signup", pa.timestamp("us")), ("ts_view", pa.timestamp("us")),
+     ("ts_purchase", pa.timestamp("us"))]
+)
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def funnel_conversion(sf_dir: str):
+    """Ordered funnel (signup -> view -> purchase): users whose FIRST view
+    strictly follows their first signup, and first purchase strictly
+    follows that view — the conversion-funnel aggregate of web analytics.
+
+    Physical plan: per-batch per-user min-ts-per-step partials (one row
+    per user seen per batch) compact the stream map-side; ONE user-hash
+    bucket shuffle co-locates the partials; each bucket folds its users'
+    step minima vectorized (groupby-min) and emits a single count row;
+    the driver sums O(buckets) rows. NaT/NULL comparisons agree: a
+    missing step makes the strict '>' false on both engines."""
+    from .ops.frames import arrow_frame, co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+    n_buckets = max(32, ds.count() // 100_000)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df[df["event_type"].isin(_FUNNEL_STEPS)]
+        if not len(df):
+            return _FUNNEL_PARTIAL.empty_table()
+        m = (
+            df.pivot_table(index="user_id", columns="event_type",
+                           values="ts", aggfunc="min")
+            .reindex(columns=list(_FUNNEL_STEPS))
+        )
+        out = pd.DataFrame(
+            {"user_id": m.index.to_numpy(dtype=np.int64),
+             "ts_signup": m["signup"].to_numpy(),
+             "ts_view": m["view"].to_numpy(),
+             "ts_purchase": m["purchase"].to_numpy()}
+        )
+        out.insert(0, "_b", (out["user_id"].to_numpy(dtype=np.int64)
+                             % n_buckets).astype(np.int64))
+        return arrow_frame(out, _FUNNEL_PARTIAL)
+
+    # fold emits ONE count row per sorted BLOCK (not per bucket group) —
+    # weaker than co_group_blocks' row-equality contract, but the driver
+    # SUMS all rows, so any grouping of whole buckets into blocks yields
+    # identical totals; what matters is that a user's partials co-locate.
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("user_id", sort=False)[
+            ["ts_signup", "ts_view", "ts_purchase"]
+        ].min()
+        s, v, p = m["ts_signup"], m["ts_view"], m["ts_purchase"]
+        va = v > s          # NaT on either side -> False (== SQL NULL)
+        pa_ = va & (p > v)
+        return pd.DataFrame(
+            {"n_signup": [np.int64(s.notna().sum())],
+             "n_view_after": [np.int64(va.sum())],
+             "n_funnel": [np.int64(pa_.sum())]}
+        )
+
+    fold_schema = pa.schema(
+        [("n_signup", pa.int64()), ("n_view_after", pa.int64()),
+         ("n_funnel", pa.int64())]
+    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+    per_bucket = co_group_blocks(partials, "_b", fold, fold_schema)
+    # driver folds O(buckets) single-row partials
+    out = per_bucket.to_pandas().sum().to_frame().T.astype("int64")
+    return out[["n_signup", "n_view_after", "n_funnel"]]
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH m AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id)
+SELECT CAST(COUNT(CASE WHEN s IS NOT NULL THEN 1 END) AS BIGINT) AS n_signup,
+       CAST(COUNT(CASE WHEN v > s THEN 1 END) AS BIGINT) AS n_view_after,
+       CAST(COUNT(CASE WHEN v > s AND p > v THEN 1 END) AS BIGINT) AS n_funnel
+FROM m
+"""
+
+
+_CORR_PARTIAL = pa.schema(
+    [("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+     ("n", pa.int64()), ("sum_x", pa.int64()), ("sum_y", pa.int64()),
+     ("sum_xx", pa.int64()), ("sum_yy", pa.int64()), ("sum_xy", pa.int64())]
+)
+
+
+def grouped_corr(sf_dir: str):
+    """Exact grouped correlation partials: per (returnflag, linestatus),
+    the integer second-moment sums of x = quantity cents and
+    y = discount milli — n, Σx, Σy, Σx², Σy², Σxy. Pearson r / covariance
+    derive from these on the driver with no further data pass; the sums
+    themselves are the SQL-pairable (bit-exact) surface.
+
+    Physical plan: one streaming pass — per-batch vectorized integerize +
+    groupby-sum partials, ONE tiny groupby over the 6 partial columns.
+    Integer headroom: per-row Σx² ≤ 25e6 (quantity ≤ 50), so int64 holds
+    past 3e11 rows; a 100-TB deployment beyond that promotes the partials
+    to two-limb int128 (the fingerprints op already does this trick)."""
+    from .ops.frames import arrow_frame
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _cents(t["l_quantity"])
+        y = pc.floor(pc.add(pc.multiply(t["l_discount"], 1000.0), 0.5)).cast(
+            pa.int64())
+        df = pd.DataFrame(
+            {"l_returnflag": t["l_returnflag"].to_pandas(),
+             "l_linestatus": t["l_linestatus"].to_pandas(),
+             "x": x.to_pandas(), "y": y.to_pandas()}
+        )
+        df["n"] = np.int64(1)
+        df["sum_xx"] = df["x"] * df["x"]
+        df["sum_yy"] = df["y"] * df["y"]
+        df["sum_xy"] = df["x"] * df["y"]
+        g = (
+            df.rename(columns={"x": "sum_x", "y": "sum_y"})
+            .groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+            [["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]]
+            .sum()
+        )
+        return arrow_frame(g, _CORR_PARTIAL)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_x", alias_name="sum_x"),
+                   Sum("sum_y", alias_name="sum_y"),
+                   Sum("sum_xx", alias_name="sum_xx"),
+                   Sum("sum_yy", alias_name="sum_yy"),
+                   Sum("sum_xy", alias_name="sum_xy"))
+    )
+
+
+GROUPED_CORR_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x*x) AS BIGINT) AS sum_xx,
+       CAST(SUM(y*y) AS BIGINT) AS sum_yy,
+       CAST(SUM(x*y) AS BIGINT) AS sum_xy
+FROM (SELECT l_returnflag, l_linestatus,
+             CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_discount*1000 + 0.5) AS BIGINT) AS y
+      FROM lineitem)
+GROUP BY 1, 2
+"""
+
+
+_SKYLINE_SCHEMA = pa.schema(
+    [("p_partkey", pa.int64()), ("p_retailprice", pa.float64()),
+     ("p_size", pa.int32())]
+)
+
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D skyline: minimize price, maximize size. A row
+    survives iff no other row has (price <=, size >=) with one strict.
+    Equal (price, size) duplicates are mutually non-dominating and all
+    survive (the SQL NOT EXISTS has the same tie semantics)."""
+    if not len(df):
+        return df
+    df = df.sort_values(["p_retailprice", "p_size", "p_partkey"],
+                        ascending=[True, False, True], kind="mergesort")
+    price = df["p_retailprice"].to_numpy()
+    size = df["p_size"].to_numpy()
+    new_price = np.concatenate([[True], price[1:] != price[:-1]])
+    gidx = np.cumsum(new_price) - 1          # price-group index per row
+    gmax = size[new_price]                   # per-group max (sorted desc)
+    cm = np.maximum.accumulate(gmax)
+    prev = np.concatenate([[np.iinfo(np.int64).min], cm[:-1]])
+    keep = (size == gmax[gidx]) & (gmax[gidx] > prev[gidx])
+    return df[keep]
+
+
+def skyline_parts(sf_dir: str):
+    """Pareto frontier (skyline) of parts: cheapest-and-largest —
+    no other part is at-most-as-expensive AND at-least-as-large with one
+    strict. Multi-objective curation shape (e.g. pick documents maximal
+    on quality while minimal on toxicity).
+
+    Physical plan: the skyline operator is MERGEABLE —
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so each batch
+    emits its local frontier (a per-batch combiner; expected O(log n) of
+    a random batch) and the driver folds the O(blocks x |frontier|)
+    union with the same vectorized kernel. Adversarial anti-correlated
+    data (frontier ~ n) would instead take one price-range repartition
+    pass; documented, not needed for any curation-score workload."""
+    from .ops.frames import arrow_frame
+
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        return arrow_frame(_skyline_2d(df), _SKYLINE_SCHEMA)
+
+    union = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return _skyline_2d(union).reset_index(drop=True)
+
+
+SKYLINE_PARTS_SQL = """
+SELECT p_partkey, p_retailprice, p_size FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+"""
+
+
+_SEMI_UNION = pa.schema(
+    [("_b", pa.int64()), ("_tag", pa.int32()), ("c_custkey", pa.int64()),
+     ("c_name", pa.string()), ("c_mktsegment", pa.string())]
+)
+
+
+def semi_join_urgent(sf_dir: str):
+    """Both-sides-large SEMI join (WHERE EXISTS): customers with at least
+    one URGENT order — the complement of ``bloom_antijoin``'s NOT EXISTS.
+
+    Physical plan: the probe side compacts map-side to per-batch DISTINCT
+    custkeys (orders carry many rows per customer), both sides tag-union
+    into ONE custkey-hash bucket exchange sharing the typed ``_SEMI_UNION``
+    schema, and each bucket keeps its customer rows via one vectorized
+    ``isin`` against the bucket's key set. Neither side is broadcast and
+    no bucket holds more than its hash share — the bloom variant
+    (ops/sketches.py) bounds the shuffle further when the probe set is
+    sparse; this is the exact dense-side plan."""
+    from .ops.frames import arrow_frame, co_group_blocks
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    n_buckets = max(32, cust.count() // 100_000)
+
+    def tag_cust(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {"_b": (df["c_custkey"].to_numpy(dtype=np.int64) % n_buckets),
+             "_tag": np.int32(0), "c_custkey": df["c_custkey"],
+             "c_name": df["c_name"], "c_mktsegment": df["c_mktsegment"]}
+        )
+        return arrow_frame(out, _SEMI_UNION)
+
+    def tag_keys(df: pd.DataFrame) -> pa.Table:
+        k = np.unique(
+            df.loc[df["o_orderpriority"] == "1-URGENT", "o_custkey"]
+            .to_numpy(dtype=np.int64)
+        )
+        out = pd.DataFrame(
+            {"_b": k % n_buckets, "_tag": np.int32(1), "c_custkey": k,
+             "c_name": pd.Series([None] * len(k), dtype="object"),
+             "c_mktsegment": pd.Series([None] * len(k), dtype="object")}
+        )
+        return arrow_frame(out, _SEMI_UNION)
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["_tag"] == 1, "c_custkey"].to_numpy()
+        rows = df[(df["_tag"] == 0)
+                  & df["c_custkey"].isin(keys)]
+        return rows[["c_custkey", "c_name", "c_mktsegment"]]
+
+    out_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()),
+         ("c_mktsegment", pa.string())]
+    )
+    union = cust.map_batches(tag_cust, batch_format="pandas").union(
+        orders.map_batches(tag_keys, batch_format="pandas")
+    )
+    return co_group_blocks(union, "_b", semi, out_schema)
+
+
+SEMI_JOIN_URGENT_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -3808,4 +4210,11 @@ SQL_PAIRED = {
     "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
     "ann_lsh": (ann_lsh_q, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf_q, ANN_IVF_SQL),
+    # -- round-5 additions (past the cap: mirror + pytest evidence) --
+    "mode_per_group": (mode_per_group, MODE_PER_GROUP_SQL),
+    "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
+    "grouped_corr": (grouped_corr, GROUPED_CORR_SQL),
+    "skyline_parts": (skyline_parts, SKYLINE_PARTS_SQL),
+    "semi_join_urgent": (semi_join_urgent, SEMI_JOIN_URGENT_SQL),
 }

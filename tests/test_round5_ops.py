@@ -1,0 +1,154 @@
+"""Property tests for the round-5 operator additions (mode, transitions,
+funnel, grouped corr moments, skyline, semi join). The SQL parity of each
+lives in test_driver_contract; these pin the algorithmic kernels against
+brute-force oracles and the combiner merge properties."""
+
+import numpy as np
+import pandas as pd
+
+from bgdss_ray.queries import _skyline_2d
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_skyline(df: pd.DataFrame) -> set:
+    """O(n^2) dominance oracle: keep a iff nobody is (<= price, >= size)
+    with one strict."""
+    pts = df[["p_partkey", "p_retailprice", "p_size"]].to_numpy()
+    keep = set()
+    for k, p, s in pts:
+        dominated = any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for _, p2, s2 in pts
+        )
+        if not dominated:
+            keep.add(int(k))
+    return keep
+
+
+def test_skyline_kernel_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = int(rng.integers(5, 200))
+        df = pd.DataFrame(
+            {
+                "p_partkey": np.arange(n, dtype=np.int64),
+                # few distinct values => plenty of price/size ties
+                "p_retailprice": rng.choice([1.0, 2.0, 2.5, 3.0], n),
+                "p_size": rng.integers(1, 6, n).astype(np.int32),
+            }
+        )
+        got = set(_skyline_2d(df)["p_partkey"].astype(int))
+        assert got == _brute_skyline(df), f"trial {trial}"
+
+
+def test_skyline_is_mergeable():
+    """pareto(A ∪ B) == pareto(pareto(A) ∪ pareto(B)) — the property the
+    per-batch combiner relies on, at every split point."""
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(60, dtype=np.int64),
+            "p_retailprice": rng.choice([1.0, 1.5, 2.0], 60),
+            "p_size": rng.integers(1, 5, 60).astype(np.int32),
+        }
+    )
+    whole = set(_skyline_2d(df)["p_partkey"])
+    for cut in (1, 17, 30, 59):
+        a, b = df.iloc[:cut], df.iloc[cut:]
+        merged = pd.concat([_skyline_2d(a), _skyline_2d(b)])
+        assert set(_skyline_2d(merged)["p_partkey"]) == whole, cut
+
+
+def test_skyline_keeps_duplicate_points():
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.array([1, 2, 3], dtype=np.int64),
+            "p_retailprice": [1.0, 1.0, 2.0],
+            "p_size": np.array([5, 5, 4], dtype=np.int32),
+        }
+    )
+    # the two identical (1.0, 5) points are mutually non-dominating
+    assert set(_skyline_2d(df)["p_partkey"]) == {1, 2}
+
+
+def test_event_transitions_matches_pandas(ray_session):
+    from bgdss_ray.queries import event_transitions
+
+    got = (
+        event_transitions(SF)
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    same = ev["user_id"].to_numpy()[1:] == ev["user_id"].to_numpy()[:-1]
+    et = ev["event_type"].to_numpy()
+    want = (
+        pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+        .groupby(["prev_type", "next_type"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # transition total == events - users-with-events (n-1 pairs per user)
+    assert got["n"].sum() == len(ev) - ev["user_id"].nunique()
+
+
+def test_funnel_matches_pandas(ray_session):
+    from bgdss_ray.queries import funnel_conversion
+
+    got = funnel_conversion(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    firsts = {}
+    for step in ("signup", "view", "purchase"):
+        firsts[step] = (
+            ev[ev["event_type"] == step].groupby("user_id")["ts"].min()
+        )
+    m = pd.DataFrame(firsts)  # outer-joined on user_id index, NaT missing
+    n_signup = int(m["signup"].notna().sum())
+    va = m["view"] > m["signup"]
+    assert int(got["n_signup"].iloc[0]) == n_signup
+    assert int(got["n_view_after"].iloc[0]) == int(va.sum())
+    assert int(got["n_funnel"].iloc[0]) == int(
+        (va & (m["purchase"] > m["view"])).sum()
+    )
+    # funnel is monotone non-increasing
+    r = got.iloc[0]
+    assert r["n_signup"] >= r["n_view_after"] >= r["n_funnel"]
+
+
+def test_mode_tiebreak_is_brand_ascending(ray_session):
+    """Every reported mode row must carry the max count for its size, and
+    be the lexicographically smallest brand among count-ties."""
+    from bgdss_ray.queries import mode_per_group
+
+    got = mode_per_group(SF)
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_size", "p_brand"])
+    cnt = part.groupby(["p_size", "p_brand"]).size().reset_index(name="n")
+    for _, row in got.iterrows():
+        grp = cnt[cnt["p_size"] == row["p_size"]]
+        mx = grp["n"].max()
+        assert row["n"] == mx
+        ties = sorted(grp.loc[grp["n"] == mx, "p_brand"])
+        assert row["p_brand"] == ties[0]
+
+
+def test_semi_join_complements_antijoin(ray_session):
+    """semi(urgent) ∪ anti(urgent) partitions customer exactly."""
+    from bgdss_ray.queries import semi_join_urgent
+
+    semi = semi_join_urgent(SF).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    urgent = set(orders.loc[orders["o_orderpriority"] == "1-URGENT",
+                            "o_custkey"])
+    want = set(cust["c_custkey"]) & urgent
+    assert set(semi["c_custkey"]) == want
+    assert semi["c_custkey"].is_unique
