@@ -3188,14 +3188,14 @@ ORDER BY doc_id, chunk_no
 """
 
 
-def rollup_sales_q(sf_dir: str):
-    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over exact-cents sales
-    — hierarchical totals in ONE shuffle: the map side explodes each row
-    into its three hierarchy levels ((flag, status), (flag, ALL),
-    (ALL, ALL)) AND pre-aggregates them per batch (combiner), so the
-    single groupby moves O(blocks × levels × groups) partial rows and
-    no second pass or union-of-groupbys exists. '::ALL::' is the
-    sentinel DuckDB's ROLLUP NULLs are coalesced to."""
+def _sales_grouping_sets(sf_dir: str, levels: list[tuple[bool, bool]]):
+    """Shared GROUPING SETS engine over exact-cents sales: the map side
+    explodes each row into the requested (keep_flag, keep_status) levels
+    AND pre-aggregates them per batch (combiner), so the single groupby
+    moves O(blocks × levels × groups) partial rows — no second pass, no
+    union-of-groupbys. '::ALL::' is the sentinel DuckDB's ROLLUP/CUBE
+    NULLs are coalesced to. ROLLUP and CUBE differ only in the level
+    list."""
     ds = _pq(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_extendedprice"])
 
@@ -3207,11 +3207,14 @@ def rollup_sales_q(sf_dir: str):
         allc = pd.Series(np.repeat("::ALL::", len(f)))
         frame = pd.DataFrame(
             {
-                "l_returnflag": pd.concat([f, f, allc], ignore_index=True),
-                "l_linestatus": pd.concat([s, allc, allc],
-                                          ignore_index=True),
-                "sum_cents": np.tile(c, 3),
-                "n_rows": np.ones(3 * len(f), dtype=np.int64),
+                "l_returnflag": pd.concat(
+                    [f if kf else allc for kf, _ks in levels],
+                    ignore_index=True),
+                "l_linestatus": pd.concat(
+                    [s if ks else allc for _kf, ks in levels],
+                    ignore_index=True),
+                "sum_cents": np.tile(c, len(levels)),
+                "n_rows": np.ones(len(levels) * len(f), dtype=np.int64),
             }
         )
         return (
@@ -3238,6 +3241,25 @@ def rollup_sales_q(sf_dir: str):
         return df
 
     return out.map_batches(fix_types, batch_format="pandas")
+
+
+def rollup_sales_q(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the three hierarchy
+    levels (flag, status) → (flag, ALL) → (ALL, ALL) in ONE shuffle via
+    the shared grouping-sets explode+combiner."""
+    return _sales_grouping_sets(
+        sf_dir, [(True, True), (True, False), (False, False)]
+    )
+
+
+def cube_sales_q(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping sets
+    — ROLLUP's three plus the cross margin (ALL, status) — still ONE
+    shuffle; the level explode is the only difference from ROLLUP."""
+    return _sales_grouping_sets(
+        sf_dir,
+        [(True, True), (True, False), (False, True), (False, False)],
+    )
 
 
 def pivot_events_q(sf_dir: str):
@@ -3325,6 +3347,17 @@ SELECT coalesce(l_returnflag, '::ALL::') AS l_returnflag,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+CUBE_SALES_SQL = r"""
+SELECT coalesce(l_returnflag, '::ALL::') AS l_returnflag,
+       coalesce(l_linestatus, '::ALL::') AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -4124,6 +4157,69 @@ WHERE EXISTS (SELECT 1 FROM orders o
 """
 
 
+_SETM_UNION = pa.schema(
+    [("_b", pa.int64()), ("_tag", pa.int32()), ("k", pa.int64())]
+)
+
+
+def set_membership(sf_dir: str):
+    """Distributed set algebra over two key sets — event users vs order
+    customers — as ONE membership table (k, in_events, in_orders).
+    INTERSECT / EXCEPT / UNION are row filters over it; computing the
+    table once costs the same single exchange as any one of them.
+
+    Physical plan: each side compacts map-side to per-batch DISTINCT
+    keys, both tag-union into ONE key-hash bucket shuffle, and each
+    bucket dedups + flags membership vectorized (sorted unique + isin).
+    The per-batch distinct bounds the exchange at O(blocks × distinct);
+    no side is ever collected or broadcast."""
+    from .ops.frames import arrow_frame, co_group_blocks
+
+    events = _pq(sf_dir, "events", ["user_id"])
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+    n_buckets = max(32, (events.count() + orders.count()) // 100_000)
+
+    def tag(col: str, tag_id: int):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            k = np.unique(df[col].to_numpy(dtype=np.int64))
+            out = pd.DataFrame(
+                {"_b": k % n_buckets,
+                 "_tag": np.full(len(k), tag_id, dtype=np.int32), "k": k}
+            )
+            return arrow_frame(out, _SETM_UNION)
+
+        fn.__name__ = f"tag_{col}"
+        return fn
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        ev = np.unique(df.loc[df["_tag"] == 0, "k"].to_numpy())
+        od = np.unique(df.loc[df["_tag"] == 1, "k"].to_numpy())
+        k = np.union1d(ev, od)
+        return pd.DataFrame(
+            {"k": k, "in_events": np.isin(k, ev, assume_unique=True),
+             "in_orders": np.isin(k, od, assume_unique=True)}
+        )
+
+    out_schema = pa.schema(
+        [("k", pa.int64()), ("in_events", pa.bool_()),
+         ("in_orders", pa.bool_())]
+    )
+    union = events.map_batches(tag("user_id", 0), batch_format="pandas").union(
+        orders.map_batches(tag("o_custkey", 1), batch_format="pandas")
+    )
+    return co_group_blocks(union, "_b", flags, out_schema)
+
+
+SET_MEMBERSHIP_SQL = """
+SELECT COALESCE(e.k, o.k) AS k,
+       e.k IS NOT NULL AS in_events,
+       o.k IS NOT NULL AS in_orders
+FROM (SELECT DISTINCT user_id AS k FROM events) e
+FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k FROM orders) o
+  ON e.k = o.k
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -4217,4 +4313,6 @@ SQL_PAIRED = {
     "grouped_corr": (grouped_corr, GROUPED_CORR_SQL),
     "skyline_parts": (skyline_parts, SKYLINE_PARTS_SQL),
     "semi_join_urgent": (semi_join_urgent, SEMI_JOIN_URGENT_SQL),
+    "cube_sales": (cube_sales_q, CUBE_SALES_SQL),
+    "set_membership": (set_membership, SET_MEMBERSHIP_SQL),
 }

@@ -139,6 +139,46 @@ def test_mode_tiebreak_is_brand_ascending(ray_session):
         assert row["p_brand"] == ties[0]
 
 
+def test_cube_extends_rollup_by_cross_margin(ray_session):
+    """CUBE = ROLLUP ∪ the (ALL, status) margin rows; the shared rows are
+    value-identical (same single-shuffle engine, different level list)."""
+    from bgdss_ray.queries import cube_sales_q, rollup_sales_q
+
+    cube = cube_sales_q(SF).to_pandas()
+    roll = rollup_sales_q(SF).to_pandas()
+    key = ["l_returnflag", "l_linestatus"]
+    merged = roll.merge(cube, on=key, suffixes=("_r", "_c"))
+    assert len(merged) == len(roll)  # every rollup row appears in cube
+    assert (merged["sum_cents_r"] == merged["sum_cents_c"]).all()
+    assert (merged["n_rows_r"] == merged["n_rows_c"]).all()
+    extra = cube.merge(roll, on=key, how="left", indicator=True)
+    extra = extra[extra["_merge"] == "left_only"]
+    # the extra grouping set is exactly (ALL, status) per status value
+    assert (extra["l_returnflag"] == "::ALL::").all()
+    assert (extra["l_linestatus"] != "::ALL::").all()
+    # cross margins sum to the grand total
+    grand = roll.loc[(roll["l_returnflag"] == "::ALL::")
+                     & (roll["l_linestatus"] == "::ALL::"), "sum_cents"]
+    assert extra["sum_cents_x"].sum() == int(grand.iloc[0])
+
+
+def test_set_membership_algebra(ray_session):
+    """INTERSECT / EXCEPT / UNION derived from the membership table match
+    pandas set ops on the raw keys."""
+    from bgdss_ray.queries import set_membership
+
+    m = set_membership(SF).to_pandas()
+    ev = set(pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id"])["user_id"])
+    od = set(pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_custkey"])["o_custkey"])
+    assert set(m["k"]) == ev | od
+    assert set(m.loc[m["in_events"] & m["in_orders"], "k"]) == ev & od
+    assert set(m.loc[m["in_orders"] & ~m["in_events"], "k"]) == od - ev
+    assert m["k"].is_unique
+    assert (m["in_events"] | m["in_orders"]).all()
+
+
 def test_semi_join_complements_antijoin(ray_session):
     """semi(urgent) ∪ anti(urgent) partitions customer exactly."""
     from bgdss_ray.queries import semi_join_urgent
