@@ -4220,6 +4220,67 @@ FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k FROM orders) o
 """
 
 
+def mixture_sample(sf_dir: str):
+    """Mixture-ratio sampling — the LLM-pretraining data-mixing step:
+    each SOURCE keeps a different deterministic fraction of its
+    documents (source i of n keeps (i+1)/(n+1) by bytewise source rank),
+    decided per row by the first 32 bits of md5(doc_id) against the
+    source's threshold. The same hash prefix makes the sample exactly
+    reproducible, resumable, and stable under any repartitioning — the
+    properties a 100-TB mixing pass needs (no RNG state, no coordination).
+
+    Physical plan: the weight table is derived from a tiny distinct
+    aggregate (O(sources) driver rows), broadcast via ray.put, and the
+    sample itself is MAP-ONLY — one streaming filter pass, zero
+    shuffles. Fixed-length lowercase-hex comparison == numeric
+    comparison, so DuckDB replays the threshold test on the md5 hex
+    prefix directly."""
+    import hashlib as _hashlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+    # distinct sources: tiny aggregate; bytewise (ASCII) rank pins the
+    # ordering DuckDB's default collation uses for these names (the
+    # hll_distinct_by ordering lesson)
+    srcs = sorted(
+        (r["source"] for r in ds.groupby("source").count().take_all()),
+        key=lambda s: s.encode(),
+    )
+    n = len(srcs)
+    thresh = {
+        s: np.uint32(int((i + 1) / (n + 1) * 4294967296)) for i, s in enumerate(srcs)
+    }
+    thresh_ref = ray.put(thresh)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(thresh_ref)
+        m = _hashlib.md5
+        buf = b"".join(
+            m(str(i).encode()).digest()[:4]
+            for i in t.column("doc_id").to_pylist()
+        )
+        h32 = np.frombuffer(buf, dtype=">u4")
+        lim = np.array(
+            [th[s] for s in t.column("source").to_pylist()], dtype=np.uint32
+        )
+        return t.filter(pa.array(h32 < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH w AS (
+  SELECT source,
+         printf('%08x', CAST(FLOOR(
+           (ROW_NUMBER() OVER (ORDER BY source)) * 1.0
+           / ((COUNT(*) OVER ()) + 1) * 4294967296.0) AS BIGINT)) AS th
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN w ON d.source = w.source
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < w.th
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -4315,4 +4376,5 @@ SQL_PAIRED = {
     "semi_join_urgent": (semi_join_urgent, SEMI_JOIN_URGENT_SQL),
     "cube_sales": (cube_sales_q, CUBE_SALES_SQL),
     "set_membership": (set_membership, SET_MEMBERSHIP_SQL),
+    "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
 }

@@ -179,6 +179,32 @@ def test_set_membership_algebra(ray_session):
     assert (m["in_events"] | m["in_orders"]).all()
 
 
+def test_mixture_sample_rates_and_determinism(ray_session):
+    """Per-source keep decisions equal the md5-threshold rule row-for-row
+    (so the sample is deterministic and repartition-invariant), and the
+    configured mixture is monotone in source rank."""
+    import hashlib
+
+    from bgdss_ray.queries import mixture_sample
+
+    got = mixture_sample(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source"])
+    srcs = sorted(set(docs["source"]), key=lambda s: s.encode())
+    n = len(srcs)
+    th = {s: int((i + 1) / (n + 1) * 2**32) for i, s in enumerate(srcs)}
+    h32 = docs["doc_id"].map(
+        lambda i: int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:4], "big")
+    )
+    want = docs[h32 < docs["source"].map(th)]
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    # higher-ranked sources keep larger fractions (weakly, small counts)
+    rates = got.groupby("source").size() / docs.groupby("source").size()
+    rates = rates.reindex(srcs).fillna(0.0)
+    assert rates.iloc[-1] > rates.iloc[0]
+
+
 def test_semi_join_complements_antijoin(ray_session):
     """semi(urgent) ∪ anti(urgent) partitions customer exactly."""
     from bgdss_ray.queries import semi_join_urgent
