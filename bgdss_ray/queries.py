@@ -1051,21 +1051,21 @@ LIMIT 100
 
 
 # --------------------------------------------------------------- q26
-def price_percentiles(sf_dir: str):
-    """Exact discrete percentiles (p50/p90/p99 of order totalprice, in
-    integer cents) per order priority — quantile_disc semantics (smallest
-    x with CDF(x) >= p, an actual data point) preserved exactly.
+def _orders_rank_stats(sf_dir: str, rank_req):
+    """Exact per-group order statistics over orders.totalprice cents —
+    the shared two-pass histogram engine behind ``price_percentiles``
+    (quantile_disc) and ``percentile_cont`` (interpolated):
 
-    Distributed shape (the former plan co-located a WHOLE priority class
-    — a 5-value key — in one frame): (1) one streaming pass histograms
-    cents into fixed 4096-cent bins per (priority, bin) with a per-batch
-    combiner + tiny compaction groupby — O(groups × bins) rows reach the
-    driver regardless of data size; (2) the driver walks each group's CDF
-    to find, for each percentile, its bin and the 1-based rank INSIDE the
-    bin; (3) a second targeted pass value-counts ONLY the ≤3 hit bins per
-    group (≤4096 distinct cents per bin, so the compacted result is
-    bounded by the bin width, not the data) and the driver picks the
-    exact order statistic. Two streaming passes, no unbounded group."""
+    (1) one streaming pass histograms cents into fixed 4096-cent bins per
+    (priority, bin) with a per-batch combiner + tiny compaction groupby —
+    O(groups × bins) rows reach the driver regardless of data size;
+    (2) the driver walks each group's CDF to find, for every requested
+    1-based rank (``rank_req(n) -> {label: rank}``), its bin and the rank
+    INSIDE the bin; (3) a second targeted pass value-counts ONLY the hit
+    bins (≤4096 distinct cents per bin, so the compacted result is
+    bounded by bin width, not data) and the driver picks the exact order
+    statistics. Two streaming passes, no unbounded group. Returns
+    ``{priority: {"n": group_size, label: cents, ...}}``."""
     from .ops.frames import arrow_frame
 
     ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
@@ -1096,20 +1096,18 @@ def price_percentiles(sf_dir: str):
         .to_pandas()
     )
 
-    PS = [("p50_cents", 0.5), ("p90_cents", 0.9), ("p99_cents", 0.99)]
-    targets: dict[tuple, list] = {}  # (prio, bin) -> [(pct_col, in-bin rank)]
-    rows: dict[str, dict] = {}
+    targets: dict[tuple, list] = {}  # (prio, bin) -> [(label, in-bin rank)]
+    stats: dict[str, dict] = {}
     for prio, gr in hist_df.groupby("o_orderpriority", sort=True):
         gr = gr.sort_values("hb", kind="mergesort")
         hbs = gr["hb"].to_numpy(dtype=np.int64)
         cum = gr["n"].to_numpy(dtype=np.int64).cumsum()
         n = int(cum[-1])
-        rows[prio] = {"n_orders": np.int64(n)}
-        for col, p in PS:
-            k = int(np.ceil(p * n))  # 1-based global rank (CDF >= p)
+        stats[prio] = {"n": n}
+        for label, k in rank_req(n).items():
             j = int(np.searchsorted(cum, k, side="left"))
             before = int(cum[j - 1]) if j else 0
-            targets.setdefault((prio, int(hbs[j])), []).append((col, k - before))
+            targets.setdefault((prio, int(hbs[j])), []).append((label, k - before))
 
     tset = frozenset(targets)
     _V = pa.schema([("o_orderpriority", pa.string()), ("hb", pa.int64()),
@@ -1142,13 +1140,33 @@ def price_percentiles(sf_dir: str):
         ].sort_values("cents", kind="mergesort")
         ccum = sub["n"].to_numpy(dtype=np.int64).cumsum()
         cvals = sub["cents"].to_numpy(dtype=np.int64)
-        for col, r in wants:
-            rows[prio][col] = np.int64(
+        for label, r in wants:
+            stats[prio][label] = int(
                 cvals[int(np.searchsorted(ccum, r, side="left"))]
             )
+    return stats
 
+
+def price_percentiles(sf_dir: str):
+    """Exact discrete percentiles (p50/p90/p99 of order totalprice, in
+    integer cents) per order priority — quantile_disc semantics (smallest
+    x with CDF(x) >= p, an actual data point) preserved exactly, via the
+    shared two-pass histogram engine (``_orders_rank_stats``; the former
+    plan co-located a WHOLE priority class — a 5-value key — in one
+    frame)."""
+    PS = [("p50_cents", 0.5), ("p90_cents", 0.9), ("p99_cents", 0.99)]
+
+    def ranks(n: int) -> dict[str, int]:
+        # 1-based global rank: smallest x with CDF(x) >= p
+        return {col: int(np.ceil(p * n)) for col, p in PS}
+
+    stats = _orders_rank_stats(sf_dir, ranks)
     out = pd.DataFrame(
-        [{"o_orderpriority": prio, **rows[prio]} for prio in sorted(rows)]
+        [
+            {"o_orderpriority": prio, "n_orders": s["n"],
+             **{col: s[col] for col, _p in PS}}
+            for prio, s in sorted(stats.items())
+        ]
     )
     for c in ("n_orders", "p50_cents", "p90_cents", "p99_cents"):
         out[c] = out[c].astype("int64")
@@ -1164,6 +1182,73 @@ SELECT o_orderpriority,
        CAST(quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.99) AS BIGINT) AS p99_cents
 FROM orders
 GROUP BY o_orderpriority
+"""
+
+
+_PCT_CONT = (50, 90, 99)
+
+
+def percentile_cont(sf_dir: str):
+    """Interpolated percentiles (percentile_cont / quantile_cont
+    semantics) per order priority, as EXACT integers: for each pct p/100
+    the continuous quantile sits at 0-based position h = p*(n-1)/100
+    between order statistics lo = x[floor(h)] and hi = x[ceil(h)] with
+    fractional weight rem/100 where rem = (p*(n-1)) mod 100. This op
+    emits (lo_cents, hi_cents, frac_centi) — all integers, no float
+    interpolation anywhere — so the pairing is bit-exact by construction;
+    the float value derives as lo + frac_centi/100*(hi-lo) wherever a
+    consumer wants it. Rides the shared two-pass histogram engine
+    (``_orders_rank_stats``): O(groups × bins) driver rows, two
+    streaming passes, no unbounded group."""
+
+    def ranks(n: int) -> dict[str, int]:
+        req: dict[str, int] = {}
+        for pct in _PCT_CONT:
+            h = pct * (n - 1)  # exact integer arithmetic, unit = 1/100
+            lo = h // 100 + 1  # 1-based rank of x[floor(h)]
+            req[f"lo{pct}"] = lo
+            req[f"hi{pct}"] = lo if h % 100 == 0 else lo + 1
+        return req
+
+    stats = _orders_rank_stats(sf_dir, ranks)
+    rows = []
+    for prio, s in sorted(stats.items()):
+        n = s["n"]
+        for pct in _PCT_CONT:
+            rows.append(
+                {"o_orderpriority": prio, "pct": pct, "n_orders": n,
+                 "lo_cents": s[f"lo{pct}"], "hi_cents": s[f"hi{pct}"],
+                 "frac_centi": (pct * (n - 1)) % 100}
+            )
+    out = pd.DataFrame(rows)
+    for c in ("pct", "n_orders", "lo_cents", "hi_cents", "frac_centi"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+PERCENTILE_CONT_SQL = """
+WITH c AS (
+  SELECT o_orderpriority AS g,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v
+  FROM orders),
+cnt AS (SELECT g, COUNT(*) AS n FROM c GROUP BY g),
+r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn
+      FROM c),
+p(pct) AS (VALUES (50), (90), (99)),
+t AS (
+  SELECT cnt.g, cnt.n, p.pct,
+         (p.pct*(cnt.n-1))//100 + 1 AS lo_rn,
+         CASE WHEN (p.pct*(cnt.n-1))%100 = 0
+              THEN (p.pct*(cnt.n-1))//100 + 1
+              ELSE (p.pct*(cnt.n-1))//100 + 2 END AS hi_rn,
+         (p.pct*(cnt.n-1))%100 AS frac_centi
+  FROM cnt CROSS JOIN p)
+SELECT t.g AS o_orderpriority, CAST(t.pct AS BIGINT) AS pct,
+       t.n AS n_orders, lo.v AS lo_cents, hi.v AS hi_cents,
+       CAST(t.frac_centi AS BIGINT) AS frac_centi
+FROM t
+JOIN r lo ON lo.g = t.g AND lo.rn = t.lo_rn
+JOIN r hi ON hi.g = t.g AND hi.rn = t.hi_rn
 """
 
 
@@ -4377,4 +4462,5 @@ SQL_PAIRED = {
     "cube_sales": (cube_sales_q, CUBE_SALES_SQL),
     "set_membership": (set_membership, SET_MEMBERSHIP_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
+    "percentile_cont": (percentile_cont, PERCENTILE_CONT_SQL),
 }

@@ -179,6 +179,35 @@ def test_set_membership_algebra(ray_session):
     assert (m["in_events"] | m["in_orders"]).all()
 
 
+def test_percentile_cont_reconstructs_quantile_cont(ray_session):
+    """The all-integer (lo, hi, frac_centi) triple reconstructs DuckDB's
+    quantile_cont double exactly (within float tolerance), and the
+    invariants hold: lo <= hi, frac in [0, 100), frac=0 => lo=hi rank."""
+    import duckdb
+
+    from bgdss_ray.queries import percentile_cont
+
+    got = percentile_cont(SF)
+    assert (got["lo_cents"] <= got["hi_cents"]).all()
+    assert got["frac_centi"].between(0, 99).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    qc = con.execute(
+        "SELECT o_orderpriority, quantile_cont("
+        "CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT), [0.50,0.90,0.99]) q "
+        "FROM orders GROUP BY 1"
+    ).fetchdf()
+    for _, r in qc.iterrows():
+        for pct, qv in zip((50, 90, 99), r["q"]):
+            e = got[(got["o_orderpriority"] == r["o_orderpriority"])
+                    & (got["pct"] == pct)].iloc[0]
+            interp = e["lo_cents"] + e["frac_centi"] / 100.0 * (
+                e["hi_cents"] - e["lo_cents"])
+            assert abs(interp - qv) < 1e-6
+
+
 def test_mixture_sample_rates_and_determinism(ray_session):
     """Per-source keep decisions equal the md5-threshold rule row-for-row
     (so the sample is deterministic and repartition-invariant), and the
