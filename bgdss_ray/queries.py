@@ -1008,7 +1008,7 @@ def deterministic_sample(sf_dir: str):
     top-100. Per-batch partial top-k (only 100 rows leave each batch),
     tiny final combine; same md5 on the DuckDB side makes the 'random'
     sample exactly reproducible (SURVEY §2.8 sampling, debug/eval splits)."""
-    import hashlib as _hashlib
+    from .ops.hashing import md5_digest_matrix
 
     k = 100
     ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -1019,11 +1019,7 @@ def deterministic_sample(sf_dir: str):
         # digests (full 128 bits, so no tie ambiguity) and render the hex
         # string — the SQL-paired output column — only for the k
         # survivors. No hexdigest/python-string sort over the full batch.
-        m = _hashlib.md5
-        buf = b"".join(
-            m(str(i).encode()).digest() for i in t.column("doc_id").to_pylist()
-        )
-        d = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)
+        d = md5_digest_matrix(t.column("doc_id").to_pylist())
         hi, lo = d[:, :8].view(">u8").ravel(), d[:, 8:].view(">u8").ravel()
         order = np.lexsort((lo, hi))[:k]
         sel = pa.array(order)
@@ -3927,6 +3923,11 @@ def event_transitions(sf_dir: str):
                     % n_buckets).astype(np.int64)
         return df
 
+    # pairs aggregates (prev,next) counts across ALL bucket groups in a
+    # block — weaker than co_group_blocks' row-equality contract (partial
+    # rows depend on how Ray groups buckets into blocks), but the
+    # downstream groupby-SUM makes any grouping of whole buckets yield
+    # identical totals; what matters is that a user's rows co-locate.
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         et = df["event_type"].to_numpy()
@@ -3967,6 +3968,33 @@ _FUNNEL_PARTIAL = pa.schema(
 _FUNNEL_STEPS = ("signup", "view", "purchase")
 
 
+def _funnel_partial(df: pd.DataFrame, n_buckets: int) -> pa.Table:
+    """Per-batch per-user min-ts-per-step partial. A batch that lacks an
+    ENTIRE step (type-clustered row groups, small trailing batches) must
+    still emit a datetime column for it — pivot_table omits the column and
+    a bare reindex would insert float64 NaN, which Arrow cannot cast to
+    timestamp — so absent steps are materialized as typed NaT columns."""
+    df = df[df["event_type"].isin(_FUNNEL_STEPS)]
+    if not len(df):
+        return _FUNNEL_PARTIAL.empty_table()
+    m = df.pivot_table(index="user_id", columns="event_type",
+                       values="ts", aggfunc="min")
+    for s in _FUNNEL_STEPS:
+        if s not in m.columns:
+            m[s] = pd.Series(pd.NaT, index=m.index, dtype="datetime64[us]")
+    out = pd.DataFrame(
+        {"user_id": m.index.to_numpy(dtype=np.int64),
+         "ts_signup": m["signup"].to_numpy(),
+         "ts_view": m["view"].to_numpy(),
+         "ts_purchase": m["purchase"].to_numpy()}
+    )
+    out.insert(0, "_b", (out["user_id"].to_numpy(dtype=np.int64)
+                         % n_buckets).astype(np.int64))
+    from .ops.frames import arrow_frame
+
+    return arrow_frame(out, _FUNNEL_PARTIAL)
+
+
 def funnel_conversion(sf_dir: str):
     """Ordered funnel (signup -> view -> purchase): users whose FIRST view
     strictly follows their first signup, and first purchase strictly
@@ -3978,29 +4006,13 @@ def funnel_conversion(sf_dir: str):
     step minima vectorized (groupby-min) and emits a single count row;
     the driver sums O(buckets) rows. NaT/NULL comparisons agree: a
     missing step makes the strict '>' false on both engines."""
-    from .ops.frames import arrow_frame, co_group_blocks
+    from .ops.frames import co_group_blocks
 
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
     n_buckets = max(32, ds.count() // 100_000)
 
     def partial(df: pd.DataFrame) -> pa.Table:
-        df = df[df["event_type"].isin(_FUNNEL_STEPS)]
-        if not len(df):
-            return _FUNNEL_PARTIAL.empty_table()
-        m = (
-            df.pivot_table(index="user_id", columns="event_type",
-                           values="ts", aggfunc="min")
-            .reindex(columns=list(_FUNNEL_STEPS))
-        )
-        out = pd.DataFrame(
-            {"user_id": m.index.to_numpy(dtype=np.int64),
-             "ts_signup": m["signup"].to_numpy(),
-             "ts_view": m["view"].to_numpy(),
-             "ts_purchase": m["purchase"].to_numpy()}
-        )
-        out.insert(0, "_b", (out["user_id"].to_numpy(dtype=np.int64)
-                             % n_buckets).astype(np.int64))
-        return arrow_frame(out, _FUNNEL_PARTIAL)
+        return _funnel_partial(df, n_buckets)
 
     # fold emits ONE count row per sorted BLOCK (not per bucket group) —
     # weaker than co_group_blocks' row-equality contract, but the driver
@@ -4320,7 +4332,7 @@ def mixture_sample(sf_dir: str):
     shuffles. Fixed-length lowercase-hex comparison == numeric
     comparison, so DuckDB replays the threshold test on the md5 hex
     prefix directly."""
-    import hashlib as _hashlib
+    from .ops.hashing import md5_digest_matrix
 
     ds = _pq(sf_dir, "documents", ["doc_id", "source"])
     # distinct sources: tiny aggregate; bytewise (ASCII) rank pins the
@@ -4338,12 +4350,8 @@ def mixture_sample(sf_dir: str):
 
     def keep(t: pa.Table) -> pa.Table:
         th = ray.get(thresh_ref)
-        m = _hashlib.md5
-        buf = b"".join(
-            m(str(i).encode()).digest()[:4]
-            for i in t.column("doc_id").to_pylist()
-        )
-        h32 = np.frombuffer(buf, dtype=">u4")
+        d = md5_digest_matrix(t.column("doc_id").to_pylist())
+        h32 = np.ascontiguousarray(d[:, :4]).view(">u4").ravel()
         lim = np.array(
             [th[s] for s in t.column("source").to_pylist()], dtype=np.uint32
         )

@@ -208,6 +208,31 @@ def test_percentile_cont_reconstructs_quantile_cont(ray_session):
             assert abs(interp - qv) < 1e-6
 
 
+def test_funnel_partial_handles_missing_step_types():
+    """A batch lacking an ENTIRE step (type-clustered row groups, small
+    trailing batches) must still emit typed timestamp columns — the
+    pivot omits the column and a float64-NaN stand-in cannot cast to
+    Arrow timestamp (the bug the round-5 review caught)."""
+    from bgdss_ray.queries import _FUNNEL_PARTIAL, _funnel_partial
+
+    ts = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {"user_id": np.array([1, 2], dtype=np.int64),
+         "ts": pd.Series([ts, ts + pd.Timedelta("1h")],
+                         dtype="datetime64[us]"),
+         "event_type": ["view", "view"]}  # no signup, no purchase
+    )
+    t = _funnel_partial(df, n_buckets=4)
+    assert t.schema.equals(_FUNNEL_PARTIAL)
+    assert t.num_rows == 2
+    assert t.column("ts_signup").null_count == 2
+    assert t.column("ts_purchase").null_count == 2
+    # and a batch with no funnel steps at all stays typed-empty
+    none = df.assign(event_type="error")
+    t0 = _funnel_partial(none, n_buckets=4)
+    assert t0.schema.equals(_FUNNEL_PARTIAL) and t0.num_rows == 0
+
+
 def test_mixture_sample_rates_and_determinism(ray_session):
     """Per-source keep decisions equal the md5-threshold rule row-for-row
     (so the sample is deterministic and repartition-invariant), and the
