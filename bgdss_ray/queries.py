@@ -1222,6 +1222,48 @@ def percentile_cont(sf_dir: str):
     return out
 
 
+def topk_with_ties(sf_dir: str):
+    """Top-3 orders per priority with RANK semantics (WITH TIES): a row
+    survives iff FEWER THAN 3 rows in its group are strictly greater —
+    all boundary ties are kept, so the result is fully deterministic with
+    no ROW_NUMBER tie-arbitrariness (``topk_per_group`` is the
+    ROW_NUMBER variant).
+
+    Physical plan: the rank filter is SUBSET-MONOTONE — a row with <3
+    strictly-greater rows globally has <3 in every subset — so each
+    batch's per-group RANK()<=3 survivors are a provable superset of the
+    global ones; the driver re-ranks the compacted O(blocks × groups ×
+    (3+boundary ties)) partials. Caveat (documented): partial size
+    degrades toward the batch size only when a group's values are nearly
+    all equal — for that distribution use the histogram order-statistic
+    engine to find the rank-3 value first."""
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    K = 3
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = (df.groupby("o_orderpriority", sort=False)["o_totalprice"]
+             .rank(method="min", ascending=False))
+        return df[r <= K]
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    r = (parts.groupby("o_orderpriority", sort=False)["o_totalprice"]
+         .rank(method="min", ascending=False))
+    out = parts[r <= K].sort_values(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    return out.reset_index(drop=True)
+
+
+TOPK_WITH_TIES_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+  SELECT *, RANK() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
 PERCENTILE_CONT_SQL = """
 WITH c AS (
   SELECT o_orderpriority AS g,
@@ -4471,4 +4513,5 @@ SQL_PAIRED = {
     "set_membership": (set_membership, SET_MEMBERSHIP_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "percentile_cont": (percentile_cont, PERCENTILE_CONT_SQL),
+    "topk_with_ties": (topk_with_ties, TOPK_WITH_TIES_SQL),
 }

@@ -259,6 +259,32 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     assert rates.iloc[-1] > rates.iloc[0]
 
 
+def test_topk_with_ties_keeps_all_boundary_ties(ray_session, tmp_path):
+    """RANK()<=3 semantics on a crafted table WITH ties: every boundary
+    tie survives (rows > 3 per group), matching a pandas RANK oracle —
+    the tie case the uniform driver tables never exercise."""
+    from bgdss_ray.queries import topk_with_ties
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(12, dtype=np.int64),
+            "o_orderpriority": ["A"] * 6 + ["B"] * 6,
+            # A: top value 9.0 appears 4x -> rank 1 x4, all kept (4 rows)
+            # B: 8.0, 7.0, then 6.0 twice at rank 3 -> 4 rows kept
+            "o_totalprice": [9.0, 9.0, 9.0, 9.0, 5.0, 4.0,
+                             8.0, 7.0, 6.0, 6.0, 5.0, 4.0],
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    got = topk_with_ties(str(tmp_path))
+    r = (orders.groupby("o_orderpriority")["o_totalprice"]
+         .rank(method="min", ascending=False))
+    want = orders[r <= 3]
+    assert set(got["o_orderkey"]) == set(want["o_orderkey"])
+    assert len(got[got["o_orderpriority"] == "A"]) == 4
+    assert len(got[got["o_orderpriority"] == "B"]) == 4
+
+
 def test_semi_join_complements_antijoin(ray_session):
     """semi(urgent) ∪ anti(urgent) partitions customer exactly."""
     from bgdss_ray.queries import semi_join_urgent
