@@ -1047,10 +1047,12 @@ LIMIT 100
 
 
 # --------------------------------------------------------------- q26
-def _orders_rank_stats(sf_dir: str, rank_req):
+def _orders_rank_stats(sf_dir: str, rank_req, values=None):
     """Exact per-group order statistics over orders.totalprice cents —
     the shared two-pass histogram engine behind ``price_percentiles``
-    (quantile_disc) and ``percentile_cont`` (interpolated):
+    (quantile_disc), ``percentile_cont`` (interpolated) and
+    ``grouped_mad`` (which passes ``values`` to rank a DERIVED integer
+    per row — |cents − group median| — instead of raw cents):
 
     (1) one streaming pass histograms cents into fixed 4096-cent bins per
     (priority, bin) with a per-batch combiner + tiny compaction groupby —
@@ -1069,10 +1071,12 @@ def _orders_rank_stats(sf_dir: str, rank_req):
     _H = pa.schema([("o_orderpriority", pa.string()), ("hb", pa.int64()),
                     ("n", pa.int64())])
 
-    def _cents(df: pd.DataFrame) -> np.ndarray:
+    def _raw_cents(df: pd.DataFrame) -> np.ndarray:
         return np.floor(
             df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
         ).astype(np.int64)
+
+    _cents = values if values is not None else _raw_cents
 
     def hist(df: pd.DataFrame) -> pa.Table:
         f = pd.DataFrame(
@@ -1261,6 +1265,101 @@ SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
   SELECT *, RANK() OVER (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice DESC) AS rnk
   FROM orders) WHERE rnk <= 3
+"""
+
+
+def grouped_mad(sf_dir: str):
+    """Median absolute deviation per order priority, exact in integer
+    cents — the robust-statistics outlier-scale step (quality scoring /
+    anomaly gates prefer MAD over stddev on heavy-tailed web data).
+
+    Physical plan: a two-pass COMPOSITION of the shared order-statistic
+    engine — pass pair 1 finds each group's exact median via the
+    histogram CDF walk; the O(groups) medians broadcast into pass pair 2,
+    which ranks the DERIVED value |cents − median(group)| with the same
+    engine (its ``values`` hook). Four streaming passes total, each
+    moving only O(groups × bins) rows to the driver; no group is ever
+    co-located."""
+
+    def med_rank(n: int) -> dict[str, int]:
+        return {"med": int(np.ceil(0.5 * n))}
+
+    med = {prio: s["med"]
+           for prio, s in _orders_rank_stats(sf_dir, med_rank).items()}
+
+    def abs_dev(df: pd.DataFrame) -> np.ndarray:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        m = df["o_orderpriority"].map(med).to_numpy(dtype=np.int64)
+        return np.abs(cents - m)
+
+    stats = _orders_rank_stats(sf_dir, med_rank, values=abs_dev)
+    out = pd.DataFrame(
+        [
+            {"o_orderpriority": prio, "n_orders": s["n"],
+             "median_cents": med[prio], "mad_cents": s["med"]}
+            for prio, s in sorted(stats.items())
+        ]
+    )
+    for c in ("n_orders", "median_cents", "mad_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+GROUPED_MAD_SQL = """
+WITH c AS (
+  SELECT o_orderpriority AS g,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v
+  FROM orders),
+med AS (SELECT g, CAST(quantile_disc(v, 0.5) AS BIGINT) AS m
+        FROM c GROUP BY g)
+SELECT c.g AS o_orderpriority, COUNT(*) AS n_orders,
+       ANY_VALUE(med.m) AS median_cents,
+       CAST(quantile_disc(ABS(c.v - med.m), 0.5) AS BIGINT) AS mad_cents
+FROM c JOIN med ON c.g = med.g
+GROUP BY c.g
+"""
+
+
+def price_histogram(sf_dir: str):
+    """Equi-width value histogram per group (4096-cent bins of order
+    totalprice per priority) — the sketching/profiling primitive the
+    order-statistic engine uses internally, exposed as an operator:
+    one streaming pass, per-batch (group, bin) count partials, ONE tiny
+    groupby; O(groups × bins) rows total."""
+    from .ops.frames import arrow_frame
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    _H = pa.schema([("o_orderpriority", pa.string()), ("bin", pa.int64()),
+                    ("n", pa.int64())])
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        f = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].to_numpy(),
+             "bin": cents >> 12}
+        )
+        out = (
+            f.groupby(["o_orderpriority", "bin"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        return arrow_frame(out, _H)
+
+    return (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby(["o_orderpriority", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT o_orderpriority,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) // 4096 AS bin,
+       COUNT(*) AS n
+FROM orders GROUP BY 1, 2
 """
 
 
@@ -4514,4 +4613,6 @@ SQL_PAIRED = {
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "percentile_cont": (percentile_cont, PERCENTILE_CONT_SQL),
     "topk_with_ties": (topk_with_ties, TOPK_WITH_TIES_SQL),
+    "grouped_mad": (grouped_mad, GROUPED_MAD_SQL),
+    "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
 }

@@ -233,6 +233,34 @@ def test_funnel_partial_handles_missing_step_types():
     assert t0.schema.equals(_FUNNEL_PARTIAL) and t0.num_rows == 0
 
 
+def test_grouped_mad_matches_pandas_oracle(ray_session):
+    """Engine MAD == a direct pandas quantile_disc-of-absolute-deviations
+    per group, and the defining property holds: at least ceil(n/2) of a
+    group lies within mad of its median."""
+    from bgdss_ray.queries import grouped_mad
+
+    got = grouped_mad(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderpriority", "o_totalprice"])
+    cents = np.floor(
+        orders["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+    ).astype(np.int64)
+    orders = orders.assign(v=cents)
+
+    def qdisc(a: np.ndarray) -> int:  # smallest x with CDF >= 0.5
+        a = np.sort(a)
+        return int(a[int(np.ceil(0.5 * len(a))) - 1])
+
+    for _, row in got.iterrows():
+        g = orders.loc[orders["o_orderpriority"] == row["o_orderpriority"],
+                       "v"].to_numpy()
+        med = qdisc(g)
+        assert row["median_cents"] == med
+        assert row["mad_cents"] == qdisc(np.abs(g - med))
+        assert (np.abs(g - med) <= row["mad_cents"]).sum() >= np.ceil(
+            len(g) / 2)
+
+
 def test_mixture_sample_rates_and_determinism(ray_session):
     """Per-source keep decisions equal the md5-threshold rule row-for-row
     (so the sample is deterministic and repartition-invariant), and the
