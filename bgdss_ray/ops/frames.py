@@ -14,7 +14,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["typed_empty", "with_typed_empty", "arrow_frame", "co_group_blocks"]
+__all__ = ["typed_empty", "arrow_frame", "co_group_blocks"]
 
 
 def co_group_blocks(ds, key: str, fn, schema: pa.Schema):
@@ -124,20 +124,3 @@ def typed_empty(spec: dict[str, object]) -> pd.DataFrame:
     """A zero-row DataFrame whose columns carry the dtypes in ``spec``
     (column name → pandas dtype string/object, insertion order kept)."""
     return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in spec.items()})
-
-
-def with_typed_empty(spec: dict[str, object]):
-    """Decorator: short-circuit an empty input batch to the typed empty
-    frame so the wrapped combiner never emits a schema-less block."""
-
-    def deco(fn):
-        def wrapped(df, *a, **kw):
-            if not len(df):
-                return typed_empty(spec)
-            return fn(df, *a, **kw)
-
-        wrapped.__name__ = getattr(fn, "__name__", "wrapped")
-        wrapped.__doc__ = fn.__doc__
-        return wrapped
-
-    return deco

@@ -154,6 +154,17 @@ def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
             is_part = g["dst"].to_numpy() == -1
             e = g.loc[~is_part, ["src", "dst"]].drop_duplicates()
             if e.empty:
+                # a block with rank-mass state rows but NO edges is the
+                # outdeg-0 case too (state routes to bucket(src), so a
+                # bucket holding only state rows means those nodes have
+                # no out-edges anywhere) — the early return must not
+                # bypass the raised-error contract below
+                if is_part.any():
+                    raise ValueError(
+                        "pagerank: node(s) with rank mass but outdeg 0 "
+                        f"(e.g. {g.loc[is_part, 'src'].iloc[0]}); the "
+                        "contract requires outdeg >= 1 for every node"
+                    )
                 return _EMPTY_STEP
             e["deg"] = e.groupby("src", sort=False)["dst"].transform("size")
             if first:
@@ -224,6 +235,16 @@ def labelprop(edges, n_iter: int = 3, num_partitions: int | None = None):
             is_lab = g["dst"].to_numpy() == -1
             e = g.loc[~is_lab, ["src", "dst"]].drop_duplicates()
             if e.empty:
+                # a block with label rows but no edges = sink nodes:
+                # correct min-label semantics is to CARRY the labels
+                # (they persist and contribute no candidates) — the old
+                # early return silently dropped them
+                if is_lab.any():
+                    lab0 = g.loc[is_lab].groupby("src", sort=False)["v"].min()
+                    return _state_rows(
+                        lab0.index.to_numpy(dtype=np.int64),
+                        lab0.to_numpy(dtype=np.int64), nb,
+                    )
                 return _EMPTY_STEP
             if first:
                 nodes = np.unique(e["src"].to_numpy(dtype=np.int64))

@@ -30,6 +30,19 @@ def derived_partitions(n_rows: int, rows_per_partition: int = 500_000,
     return max(floor, int(n_rows) // rows_per_partition + 1)
 
 
+def derived_buckets(n_rows: int, rows_per_bucket: int = 100_000,
+                    floor: int = 32) -> int:
+    """Bucket-co-group fan-out sized by ROW COUNT — the companion of
+    :func:`derived_partitions` for the key-hash bucket exchanges
+    (sessionize, latest-event argmax, transitions, funnel, semi/set
+    membership, banded pairs): ~100k rows per bucket keeps in-bucket
+    frames bounded at any scale, floor 32 so small inputs still
+    parallelize. Bucket count is semantics-free for every caller
+    (asserted by their bucket-width-invariance tests); this is the one
+    place the policy constants live."""
+    return max(floor, int(n_rows) // rows_per_bucket)
+
+
 def native_join(left, right, on: str, right_on: str | None = None,
                 num_partitions: int = 16, join_type: str = "inner"):
     return left.join(
@@ -134,11 +147,19 @@ def asof_join_backward(
     # ONE __t type across both tagged sides: the two time columns may
     # carry different timestamp units (e.g. events ts[us] vs orders
     # date[s]) and a unit-mixed union is a real heterogeneous-schema
-    # stream. Microseconds is exact for s/ms/us storage.
+    # stream. Microseconds is exact for s/ms/us storage. EITHER side
+    # being temporal forces the timestamp target — casting only when the
+    # LEFT was a timestamp sent a date32 left vs timestamp right through
+    # the int64 branch, silently comparing day counts to microseconds;
+    # likewise a float on either side forces float64 (an int64 cast
+    # would truncate fractional times and move asof boundaries).
     t_type = l_types[left_on]
-    if t_type != r_types[right_on]:
-        if pa.types.is_timestamp(t_type):
+    rt_type = r_types[right_on]
+    if t_type != rt_type:
+        if pa.types.is_temporal(t_type) or pa.types.is_temporal(rt_type):
             t_type = pa.timestamp("us")
+        elif pa.types.is_floating(t_type) or pa.types.is_floating(rt_type):
+            t_type = pa.float64()
         else:
             t_type = pa.int64()
 

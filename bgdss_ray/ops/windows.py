@@ -83,7 +83,9 @@ def sessionize_events(ds, gap_us: int = DEFAULT_GAP_US,
     if n_buckets is None:
         # data-derived fan-out (same policy as curate/tfidf): per-bucket
         # frames bounded by data, no pure-overhead groups on small inputs
-        n_buckets = max(32, ds.count() // 100_000)
+        from .joins import derived_buckets
+
+        n_buckets = derived_buckets(ds.count())
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -29,6 +29,7 @@ from ray.data.aggregate import Count, Sum
 
 from . import crawl_oracle as _crawl_oracle
 from .config import NOT_CLASSIFIED, SENTINEL
+from .ops.joins import derived_buckets
 
 
 def _pq(sf_dir: str, table: str, columns=None):
@@ -262,7 +263,7 @@ def latest_event_per_user(sf_dir: str):
     O(users) calls on a 10^9-user stream; this makes O(buckets), the
     sessionize pattern."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
-    n_buckets = max(32, ds.count() // 100_000)
+    n_buckets = derived_buckets(ds.count())
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"], ascending=False,
@@ -932,7 +933,7 @@ def banded_event_pairs(sf_dir: str):
     self-join is O(n²) per key)."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
     band_us = np.int64(5 * 60 * 1_000_000)
-    n_buckets = max(32, ds.count() // 100_000)
+    n_buckets = derived_buckets(ds.count())
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -4056,7 +4057,7 @@ def event_transitions(sf_dir: str):
     from .ops.frames import co_group_blocks
 
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-    n_buckets = max(32, ds.count() // 100_000)
+    n_buckets = derived_buckets(ds.count())
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -4150,7 +4151,7 @@ def funnel_conversion(sf_dir: str):
     from .ops.frames import co_group_blocks
 
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
-    n_buckets = max(32, ds.count() // 100_000)
+    n_buckets = derived_buckets(ds.count())
 
     def partial(df: pd.DataFrame) -> pa.Table:
         return _funnel_partial(df, n_buckets)
@@ -4349,7 +4350,7 @@ def semi_join_urgent(sf_dir: str):
 
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    n_buckets = max(32, cust.count() // 100_000)
+    n_buckets = derived_buckets(cust.count())
 
     def tag_cust(df: pd.DataFrame) -> pa.Table:
         out = pd.DataFrame(
@@ -4415,7 +4416,7 @@ def set_membership(sf_dir: str):
 
     events = _pq(sf_dir, "events", ["user_id"])
     orders = _pq(sf_dir, "orders", ["o_custkey"])
-    n_buckets = max(32, (events.count() + orders.count()) // 100_000)
+    n_buckets = derived_buckets(events.count() + orders.count())
 
     def tag(col: str, tag_id: int):
         def fn(df: pd.DataFrame) -> pa.Table:

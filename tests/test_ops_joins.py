@@ -98,6 +98,52 @@ def test_asof_join_backward_matches_global_merge_asof(ray_session):
     assert got[got["k"] == 4]["rv"].isna().all() or (left["k"] != 4).all()
 
 
+def test_asof_join_date32_left_vs_timestamp_right(ray_session):
+    """Heterogeneous temporal types: a date32 LEFT against a timestamp
+    RIGHT must unify to timestamp[us] — the old reconciliation only
+    checked whether the LEFT was a timestamp and sent this case through
+    the int64 branch, comparing day counts against microseconds."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bgdss_ray.ops.joins import asof_join_backward
+
+    left_t = pa.table(
+        {
+            "lid": pa.array(np.arange(4, dtype=np.int64)),
+            "k": pa.array([0, 0, 1, 1], type=pa.int64()),
+            "d": pa.array(
+                [pd.Timestamp("2024-01-02").date(),
+                 pd.Timestamp("2024-01-05").date(),
+                 pd.Timestamp("2024-01-03").date(),
+                 pd.Timestamp("2024-01-01").date()],
+                type=pa.date32(),
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.array([0, 0, 1], dtype=np.int64),
+            "rt": pd.to_datetime(
+                ["2024-01-01 12:00", "2024-01-04 00:00", "2024-01-02 06:00"]
+            ),
+            "rv": np.array([10, 20, 30], dtype=np.int64),
+        }
+    )
+    got = asof_join_backward(
+        rd.from_arrow(left_t),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        left_by="k", right_by="rk", left_on="d", right_on="rt",
+        right_value_cols=["rv"],
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    # backward asof at day granularity vs intra-day right times:
+    # lid0 (Jan 2) -> Jan 1 12:00 (10); lid1 (Jan 5) -> Jan 4 (20);
+    # lid2 (Jan 3) -> Jan 2 06:00 (30); lid3 (Jan 1 00:00) -> none
+    assert got["rv"].fillna(-1).astype("int64").tolist() == [10, 20, 30, -1]
+
+
 def test_salted_join_equals_unsalted_on_skewed_keys(ray_session):
     """Salting changes placement, never membership: on a corpus where 3
     hot keys carry 70% of probe rows, the salted join's row multiset is
