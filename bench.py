@@ -115,6 +115,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("event_transitions", SQL_PAIRED["event_transitions"][0]),
         ("funnel_conversion", SQL_PAIRED["funnel_conversion"][0]),
         ("semi_join_urgent", SQL_PAIRED["semi_join_urgent"][0]),
+        ("grouped_mad", SQL_PAIRED["grouped_mad"][0]),
     ]
     import pandas as pd
     import pyarrow as pa
