@@ -116,6 +116,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("funnel_conversion", SQL_PAIRED["funnel_conversion"][0]),
         ("semi_join_urgent", SQL_PAIRED["semi_join_urgent"][0]),
         ("grouped_mad", SQL_PAIRED["grouped_mad"][0]),
+        ("interarrival_stats", SQL_PAIRED["interarrival_stats"][0]),
+        ("user_streaks", SQL_PAIRED["user_streaks"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

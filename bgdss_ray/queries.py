@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from . import crawl_oracle as _crawl_oracle
 from .config import NOT_CLASSIFIED, SENTINEL
@@ -4522,6 +4522,150 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < w.th
 """
 
 
+_INTERARRIVAL_PARTIAL = pa.schema(
+    [("event_type", pa.string()), ("n_gaps", pa.int64()),
+     ("sum_gap_us", pa.int64()), ("min_gap_us", pa.int64()),
+     ("max_gap_us", pa.int64())]
+)
+
+
+def interarrival_stats(sf_dir: str):
+    """Inter-arrival (dwell-time) statistics: per event type, the count /
+    sum / min / max of the time gap between each event and the SAME
+    user's previous event in (ts, event_id) order — the LAG-delta step of
+    a behavioral/sessionization pipeline, kept exact by working in int64
+    microseconds (no float durations on either engine).
+
+    Physical plan: adjacency needs a user's rows co-located and ordered,
+    so ONE user-hash bucket shuffle (the ``event_transitions`` shape);
+    inside each bucket one vectorized pass (mergesort + us-int view +
+    shift + same-user mask) computes every gap, and a per-block groupby
+    compacts them to O(types) partial rows whose final fold is a tiny
+    Sum/Sum/Min/Max groupby. Like ``event_transitions``' pairs fold, the
+    per-block partial aggregates across whole bucket groups — weaker than
+    row-equality per group, but Sum/Min/Max over any grouping of whole
+    buckets yields identical totals."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_buckets = derived_buckets(ds.count())
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].to_numpy(dtype=np.int64)
+                    % n_buckets).astype(np.int64)
+        return df
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = (df["ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64))
+        uid = df["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        part = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy()[1:][same],
+            "gap_us": (ts_us[1:] - ts_us[:-1])[same],
+        })
+        g = part.groupby("event_type", sort=False)["gap_us"]
+        out = g.agg(n_gaps="size", sum_gap_us="sum",
+                    min_gap_us="min", max_gap_us="max").reset_index()
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    partials = co_group_blocks(bucketed, "_b", gaps, _INTERARRIVAL_PARTIAL)
+    return partials.groupby("event_type").aggregate(
+        Sum("n_gaps", alias_name="n_gaps"),
+        Sum("sum_gap_us", alias_name="sum_gap_us"),
+        Min("min_gap_us", alias_name="min_gap_us"),
+        Max("max_gap_us", alias_name="max_gap_us"),
+    )
+
+
+INTERARRIVAL_STATS_SQL = """
+SELECT next_type AS event_type,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       MIN(gap_us) AS min_gap_us,
+       MAX(gap_us) AS max_gap_us
+FROM (
+  SELECT event_type AS next_type,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events) t
+WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+_STREAK_PARTIAL = pa.schema(
+    [("streak_len", pa.int64()), ("n_users", pa.int64())]
+)
+
+
+def user_streaks(sf_dir: str):
+    """Gaps-and-islands: distribution of each user's LONGEST run of
+    consecutive active days (days with >=1 event) — the classic
+    engagement-streak query, exact in integer day numbers.
+
+    Physical plan: the island identity (day_number - within-user rank) is
+    computable only with a user's distinct days co-located, so per-batch
+    map-side compaction to DISTINCT (user, day) rows (bounds the shuffle
+    at the batch's distinct count, not its row count) feeds ONE user-hash
+    bucket shuffle; each bucket re-dedups across batches, then one
+    vectorized pass (mergesort + grouped cumcount + island value_counts +
+    per-user max) resolves every bucket-local user's longest streak, and
+    the O(buckets x distinct-streak-lengths) histogram partials fold in a
+    tiny final Sum groupby. Users never straddle buckets, so the per-user
+    max is final inside the block."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    n_buckets = derived_buckets(ds.count())
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "dnum": (df["ts"].to_numpy().astype("datetime64[D]")
+                     .astype(np.int64)),
+        }).drop_duplicates()
+        out["_b"] = (out["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return out
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop_duplicates(["user_id", "dnum"])
+                .sort_values(["user_id", "dnum"], kind="mergesort"))
+        isl = (df["dnum"].to_numpy()
+               - df.groupby("user_id", sort=False).cumcount().to_numpy())
+        slen = (pd.DataFrame({"u": df["user_id"].to_numpy(), "i": isl})
+                .groupby(["u", "i"], sort=False).size())
+        longest = slen.groupby(level="u", sort=False).max()
+        hist = longest.value_counts().sort_index()
+        return pd.DataFrame({"streak_len": hist.index.to_numpy(),
+                             "n_users": hist.to_numpy()})
+
+    bucketed = ds.map_batches(day_partial, batch_format="pandas")
+    partials = co_group_blocks(bucketed, "_b", streaks, _STREAK_PARTIAL)
+    return partials.groupby("streak_len").aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+USER_STREAKS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum
+  FROM events),
+g AS (
+  SELECT user_id,
+         dnum - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dnum)
+           AS isl
+  FROM ud),
+s AS (SELECT user_id, isl, COUNT(*) AS slen FROM g GROUP BY 1, 2),
+m AS (SELECT user_id, MAX(slen) AS streak_len FROM s GROUP BY 1)
+SELECT streak_len, COUNT(*) AS n_users FROM m GROUP BY 1
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -4622,4 +4766,6 @@ SQL_PAIRED = {
     "topk_with_ties": (topk_with_ties, TOPK_WITH_TIES_SQL),
     "grouped_mad": (grouped_mad, GROUPED_MAD_SQL),
     "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
+    "interarrival_stats": (interarrival_stats, INTERARRIVAL_STATS_SQL),
+    "user_streaks": (user_streaks, USER_STREAKS_SQL),
 }

@@ -326,3 +326,48 @@ def test_semi_join_complements_antijoin(ray_session):
     want = set(cust["c_custkey"]) & urgent
     assert set(semi["c_custkey"]) == want
     assert semi["c_custkey"].is_unique
+
+
+def test_interarrival_matches_pandas(ray_session):
+    from bgdss_ray.queries import interarrival_stats
+
+    got = (interarrival_stats(SF).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ts_us = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = ev["user_id"].to_numpy()
+    same = uid[1:] == uid[:-1]
+    part = pd.DataFrame({"event_type": ev["event_type"].to_numpy()[1:][same],
+                         "gap_us": (ts_us[1:] - ts_us[:-1])[same]})
+    want = (part.groupby("event_type")["gap_us"]
+            .agg(n_gaps="size", sum_gap_us="sum",
+                 min_gap_us="min", max_gap_us="max")
+            .reset_index().sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every non-first event of each user contributes exactly one gap
+    assert got["n_gaps"].sum() == len(ev) - ev["user_id"].nunique()
+    assert (got["min_gap_us"] >= 0).all()  # sorted order => no negatives
+
+
+def test_user_streaks_matches_pandas(ray_session):
+    from bgdss_ray.queries import user_streaks
+
+    got = (user_streaks(SF).to_pandas()
+           .sort_values("streak_len").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ud = pd.DataFrame({
+        "u": ev["user_id"].to_numpy(),
+        "d": ev["ts"].to_numpy().astype("datetime64[D]").astype(np.int64),
+    }).drop_duplicates().sort_values(["u", "d"])
+    isl = ud["d"].to_numpy() - ud.groupby("u").cumcount().to_numpy()
+    slen = (pd.DataFrame({"u": ud["u"].to_numpy(), "i": isl})
+            .groupby(["u", "i"]).size())
+    longest = slen.groupby(level="u").max()
+    want = (longest.value_counts().sort_index()
+            .rename_axis("streak_len").reset_index(name="n_users"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # each user appears exactly once in the distribution; streaks >= 1
+    assert got["n_users"].sum() == ev["user_id"].nunique()
+    assert got["streak_len"].min() >= 1
