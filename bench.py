@@ -118,6 +118,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("grouped_mad", SQL_PAIRED["grouped_mad"][0]),
         ("interarrival_stats", SQL_PAIRED["interarrival_stats"][0]),
         ("user_streaks", SQL_PAIRED["user_streaks"][0]),
+        ("q12_priority_lines", SQL_PAIRED["q12_priority_lines"][0]),
+        ("moving_sum_rows", SQL_PAIRED["moving_sum_rows"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

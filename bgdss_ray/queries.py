@@ -4666,6 +4666,150 @@ SELECT streak_len, COUNT(*) AS n_users FROM m GROUP BY 1
 """
 
 
+_Q12_UNION = pa.schema(
+    [("_b", pa.int64()), ("_tag", pa.int32()), ("okey", pa.int64()),
+     ("l_returnflag", pa.string()), ("n", pa.int64())]
+)
+_Q12_PARTIAL = pa.schema(
+    [("l_returnflag", pa.string()), ("high_lines", pa.int64()),
+     ("low_lines", pa.int64())]
+)
+
+
+def q12_priority_lines(sf_dir: str):
+    """TPC-H-Q12-shaped conditional aggregation over a both-sides-large
+    join: per returnflag, how many lineitem rows belong to HIGH-priority
+    (1-URGENT / 2-HIGH) orders vs the rest — the CASE-WHEN-inside-SUM
+    pattern Q12 uses for shipmode, over the columns this dataset carries.
+
+    Physical plan: the lineitem side pre-aggregates map-side to
+    (orderkey, returnflag, count) partials (bounds the exchange at the
+    batch's distinct pairs, not its rows); the orders side ships one
+    (orderkey, is_high) row each. Both tag-union into ONE orderkey-hash
+    bucket exchange with the shared typed ``_Q12_UNION`` schema; each
+    bucket resolves priority by a vectorized inner merge (orderkey is an
+    FK — every line has its order co-located) and compacts to O(flags)
+    partial rows, folded by a tiny final Sum groupby. Neither side is
+    broadcast; no bucket holds more than its hash share."""
+    from .ops.frames import arrow_frame, co_group_blocks
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    line = _pq(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    n_buckets = derived_buckets(line.count())
+
+    def tag_orders(df: pd.DataFrame) -> pa.Table:
+        ok = df["o_orderkey"].to_numpy(dtype=np.int64)
+        hi = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        out = pd.DataFrame(
+            {"_b": ok % n_buckets, "_tag": np.int32(0), "okey": ok,
+             "l_returnflag": pd.Series([None] * len(ok), dtype="object"),
+             "n": hi.astype(np.int64)}
+        )
+        return arrow_frame(out, _Q12_UNION)
+
+    def tag_lines(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["l_orderkey", "l_returnflag"], sort=False)
+             .size().reset_index(name="n"))
+        ok = g["l_orderkey"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {"_b": ok % n_buckets, "_tag": np.int32(1), "okey": ok,
+             "l_returnflag": g["l_returnflag"], "n": g["n"]}
+        )
+        return arrow_frame(out, _Q12_UNION)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["_tag"] == 0]
+        ln = df[df["_tag"] == 1]
+        m = ln.merge(o[["okey", "n"]].rename(columns={"n": "hi"}),
+                     on="okey", how="inner")
+        if not len(m):
+            return pd.DataFrame(columns=["l_returnflag", "high_lines",
+                                         "low_lines"])
+        n = m["n"].to_numpy()
+        hi = m["hi"].to_numpy()
+        part = pd.DataFrame({"l_returnflag": m["l_returnflag"],
+                             "high_lines": n * hi,
+                             "low_lines": n * (1 - hi)})
+        return (part.groupby("l_returnflag", sort=False)
+                .sum().reset_index())
+
+    union = orders.map_batches(tag_orders, batch_format="pandas").union(
+        line.map_batches(tag_lines, batch_format="pandas")
+    )
+    partials = co_group_blocks(union, "_b", fold, _Q12_PARTIAL)
+    return partials.groupby("l_returnflag").aggregate(
+        Sum("high_lines", alias_name="high_lines"),
+        Sum("low_lines", alias_name="low_lines"),
+    )
+
+
+Q12_PRIORITY_LINES_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+_MOVSUM_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("moving_sum_cents", pa.int64())]
+)
+
+
+def moving_sum_rows(sf_dir: str):
+    """ROWS-frame window aggregate: per event, the sum of the SAME user's
+    last three event values (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW in
+    (ts, event_id) order) — the rows-based sibling of the time-based
+    ``sliding_windows``, exact in int64 cents on both engines.
+
+    Physical plan: the frame needs a user's rows co-located and ordered,
+    so ONE user-hash bucket shuffle; inside each bucket one vectorized
+    pass — mergesort, grouped cumsum (restarts per user), and the window
+    identity ``ms[i] = cs[i] - cs[i-3]`` guarded by within-user rank >= 3
+    (sorted layout makes i-3 provably the same user's row there, and the
+    grouped cumsum IS the full window for rank < 3). Output is row-per-
+    event; no group ever concentrates beyond its hash share."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_buckets = derived_buckets(ds.count())
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].to_numpy(dtype=np.int64)
+                    % n_buckets).astype(np.int64)
+        return df
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64)
+        g = df.groupby("user_id", sort=False)
+        cs = (pd.Series(cents, index=df.index).groupby(
+            df["user_id"], sort=False).cumsum().to_numpy())
+        rank = g.cumcount().to_numpy()
+        prev3 = np.roll(cs, 3)
+        ms = np.where(rank >= 3, cs - prev3, cs)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "moving_sum_cents": ms})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    return co_group_blocks(bucketed, "_b", window, _MOVSUM_SCHEMA)
+
+
+MOVING_SUM_ROWS_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS moving_sum_cents
+FROM events
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -4768,4 +4912,6 @@ SQL_PAIRED = {
     "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
     "interarrival_stats": (interarrival_stats, INTERARRIVAL_STATS_SQL),
     "user_streaks": (user_streaks, USER_STREAKS_SQL),
+    "q12_priority_lines": (q12_priority_lines, Q12_PRIORITY_LINES_SQL),
+    "moving_sum_rows": (moving_sum_rows, MOVING_SUM_ROWS_SQL),
 }

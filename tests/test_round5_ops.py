@@ -371,3 +371,47 @@ def test_user_streaks_matches_pandas(ray_session):
     # each user appears exactly once in the distribution; streaks >= 1
     assert got["n_users"].sum() == ev["user_id"].nunique()
     assert got["streak_len"].min() >= 1
+
+
+def test_q12_priority_lines_matches_pandas(ray_session):
+    from bgdss_ray.queries import q12_priority_lines
+
+    got = (q12_priority_lines(SF).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    line = pd.read_parquet(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_returnflag"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    m = line.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    hi = m["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    want = (pd.DataFrame({"l_returnflag": m["l_returnflag"],
+                          "high_lines": hi.astype(int),
+                          "low_lines": (~hi).astype(int)})
+            .groupby("l_returnflag").sum().reset_index())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every lineitem row lands in exactly one side of the CASE
+    assert got["high_lines"].sum() + got["low_lines"].sum() == len(line)
+
+
+def test_moving_sum_rows_matches_pandas(ray_session):
+    from bgdss_ray.queries import moving_sum_rows
+
+    got = (moving_sum_rows(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64)
+    want = (ev.assign(moving_sum_cents=(
+                ev.groupby("user_id")["cents"]
+                .rolling(3, min_periods=1).sum()
+                .reset_index(level=0, drop=True).astype(np.int64)))
+            [["event_id", "moving_sum_cents"]]
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # each user's first event windows over itself alone
+    firsts = ev.groupby("user_id").head(1)
+    lookup = got.set_index("event_id")["moving_sum_cents"]
+    assert (lookup.loc[firsts["event_id"]].to_numpy()
+            == firsts["cents"].to_numpy()).all()
