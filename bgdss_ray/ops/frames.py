@@ -124,3 +124,33 @@ def typed_empty(spec: dict[str, object]) -> pd.DataFrame:
     """A zero-row DataFrame whose columns carry the dtypes in ``spec``
     (column name → pandas dtype string/object, insertion order kept)."""
     return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in spec.items()})
+
+
+def fold_binned_counts(partials, keys, schema: pa.Schema,
+                       bucket_col: str | None = None,
+                       n_buckets: int = 64):
+    """Final fold for (*keys, n) count partials WITHOUT Ray's
+    groupby().aggregate(): on Ray 2.49 AggregateReduce's merge loop costs
+    ~4.5 ms of CPU per OUTPUT group (measured: 55,653 (priority, bin)
+    groups → ~250 s of merge CPU → 13 s wall at 32 CPUs, for 147k input
+    rows), so any high-cardinality final fold must avoid it. The partials
+    are bucketed on ``bucket_col % n_buckets`` (default: the last key; it
+    must be an int column that is part of ``keys``) — every row of a key
+    tuple shares that column, hence the bucket, hence ONE sorted block —
+    so a single vectorized in-block pandas groupby-sum is already the
+    FINAL result: one Sort exchange over the compacted partials plus
+    O(blocks) python calls, never a per-group merge loop."""
+    import numpy as np
+
+    keys = list(keys)
+    bcol = bucket_col if bucket_col is not None else keys[-1]
+
+    def add_k(t: pa.Table) -> pa.Table:
+        k = t.column(bcol).to_numpy(zero_copy_only=False) % n_buckets
+        return t.append_column("_k", pa.array(k, type=pa.int64()))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, sort=False, as_index=False)["n"].sum()
+
+    keyed = partials.map_batches(add_k, batch_format="pyarrow")
+    return co_group_blocks(keyed, "_k", fold, schema)
