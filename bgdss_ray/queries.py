@@ -4818,6 +4818,106 @@ FROM events
 """
 
 
+_DR_PAIR = pa.schema(
+    [("o_orderpriority", pa.string()), ("hb", pa.int64()),
+     ("cents", pa.int64())]
+)
+_DR_COUNT = pa.schema(
+    [("o_orderpriority", pa.string()), ("hb", pa.int64()),
+     ("nd", pa.int64())]
+)
+_DR_OUT = pa.schema([("o_orderkey", pa.int64()), ("dense_rank", pa.int64())])
+
+
+def dense_rank_orders(sf_dir: str):
+    """Distributed DENSE_RANK: each order's dense rank of totalprice
+    cents within its priority class — value-deterministic (unlike
+    ROW_NUMBER/NTILE, equal values share a rank), so it SQL-pairs
+    bit-exactly, and the classic global-ranking primitive that naive
+    plans solve by co-locating a whole partition.
+
+    Physical plan: dense rank of v = #distinct values < v in the group,
+    which SPLITS BY VALUE RANGE — rank = (distinct values in all lower
+    4096-cent bins) + (dense rank within own bin). Pass 1 ships per-batch
+    DISTINCT (priority, bin, cents) triples (map-side compaction) into a
+    bin-keyed co-group that dedups and counts distinct cents per
+    (priority, bin) — O(groups × bins) rows to the driver, which
+    exclusive-cumsums them into per-bin rank offsets, broadcast via
+    ray.put. Pass 2 shuffles the rows ONCE by the same bin key; each
+    block merges the offset table (vectorized) and adds pandas'
+    C-implemented dense rank within (priority, bin). No priority class
+    is ever co-located — only equal-width value bins (bounded by price
+    skew within 40.96-dollar ranges, the same assumption the percentile
+    engine documents)."""
+    from .ops.frames import arrow_frame, co_group_blocks
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    SHIFT = 12
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].to_numpy(),
+             "hb": cents >> SHIFT, "cents": cents}
+        ).drop_duplicates()
+        return arrow_frame(out, _DR_PAIR)
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["o_orderpriority", "hb", "cents"])
+        return (d.groupby(["o_orderpriority", "hb"], sort=False)
+                .size().rename("nd").reset_index())
+
+    counts = co_group_blocks(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        "hb", count_distinct, _DR_COUNT,
+    ).to_pandas()
+
+    counts = counts.sort_values(["o_orderpriority", "hb"],
+                                kind="mergesort")
+    grp_cum = counts.groupby("o_orderpriority", sort=False)["nd"].cumsum()
+    counts["off"] = (grp_cum - counts["nd"]).astype(np.int64)
+    off_ref = ray.put(counts[["o_orderpriority", "hb", "off"]])
+
+    def add_bin(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+             "o_orderpriority": df["o_orderpriority"].to_numpy(),
+             "hb": cents >> SHIFT, "cents": cents}
+        )
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        m = df.merge(off, on=["o_orderpriority", "hb"], how="left")
+        within = (m.groupby(["o_orderpriority", "hb"], sort=False)["cents"]
+                  .rank(method="dense").astype(np.int64))
+        return pd.DataFrame(
+            {"o_orderkey": m["o_orderkey"].to_numpy(),
+             "dense_rank": m["off"].to_numpy(dtype=np.int64)
+                           + within.to_numpy()}
+        )
+
+    return co_group_blocks(
+        ds.map_batches(add_bin, batch_format="pandas"),
+        "hb", rank_block, _DR_OUT,
+    )
+
+
+DENSE_RANK_ORDERS_SQL = """
+SELECT o_orderkey,
+       DENSE_RANK() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+       ) AS dense_rank
+FROM orders
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -4922,4 +5022,5 @@ SQL_PAIRED = {
     "user_streaks": (user_streaks, USER_STREAKS_SQL),
     "q12_priority_lines": (q12_priority_lines, Q12_PRIORITY_LINES_SQL),
     "moving_sum_rows": (moving_sum_rows, MOVING_SUM_ROWS_SQL),
+    "dense_rank_orders": (dense_rank_orders, DENSE_RANK_ORDERS_SQL),
 }

@@ -415,3 +415,31 @@ def test_moving_sum_rows_matches_pandas(ray_session):
     lookup = got.set_index("event_id")["moving_sum_cents"]
     assert (lookup.loc[firsts["event_id"]].to_numpy()
             == firsts["cents"].to_numpy()).all()
+
+
+def test_dense_rank_orders_matches_pandas(ray_session):
+    from bgdss_ray.queries import dense_rank_orders
+
+    got = (dense_rank_orders(SF).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5
+                     ).astype(np.int64)
+    want = (orders.assign(
+                dense_rank=pd.Series(cents)
+                .groupby(orders["o_orderpriority"].to_numpy())
+                .rank(method="dense").astype(np.int64).to_numpy())
+            [["o_orderkey", "dense_rank"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # defining property: within each priority the ranks are exactly
+    # 1..n_distinct with no gaps, and equal cents share a rank
+    m = got.merge(orders, on="o_orderkey")
+    for prio, g in m.groupby("o_orderpriority"):
+        ranks = np.sort(g["dense_rank"].unique())
+        assert ranks[0] == 1 and ranks[-1] == len(ranks)
+        cc = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5)
+        assert (pd.DataFrame({"c": cc, "r": g["dense_rank"]})
+                .groupby("c")["r"].nunique() == 1).all()
