@@ -121,6 +121,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("q12_priority_lines", SQL_PAIRED["q12_priority_lines"][0]),
         ("moving_sum_rows", SQL_PAIRED["moving_sum_rows"][0]),
         ("dense_rank_orders", SQL_PAIRED["dense_rank_orders"][0]),
+        ("range_window_sum", SQL_PAIRED["range_window_sum"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

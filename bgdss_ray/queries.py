@@ -4918,6 +4918,92 @@ FROM orders
 """
 
 
+_RANGESUM_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("range_sum_cents", pa.int64())]
+)
+
+
+def range_window_sum(sf_dir: str):
+    """RANGE-frame window aggregate: per event, the sum of the SAME
+    user's event values over the trailing 24 hours (RANGE BETWEEN
+    INTERVAL 24 HOURS PRECEDING AND CURRENT ROW in ts order) — the
+    time-based sibling of the ROWS-frame ``moving_sum_rows`` and the
+    shape rolling-activity / rate-limit passes need. RANGE frames are
+    value-deterministic (equal-ts peers share one frame, so ties carry
+    identical sums on both engines), exact in int64 cents throughout.
+
+    Physical plan: ONE user-hash bucket shuffle co-locates each user's
+    rows; inside the bucket the frame bounds are TWO vectorized
+    searchsorted passes over the composite user-major (user, ts) key
+    (the ``banded_event_pairs`` idiom — the user stride exceeds the
+    bucket's ts span plus the lookback, so a probe can never bleed into
+    a neighboring user's range), and the frame sum is a prefix-sum
+    difference ``prefix[hi] - prefix[lo]``. The right bound uses
+    side='right' at ts itself, which is exactly RANGE's
+    include-all-peers rule. O(buckets) Python calls, no per-user loop,
+    no pairwise expansion."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    look_us = np.int64(24 * 3600 * 1_000_000)
+    n_buckets = derived_buckets(ds.count())
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].to_numpy(dtype=np.int64)
+                    % n_buckets).astype(np.int64)
+        return df
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64)
+        prefix = np.r_[np.int64(0), np.cumsum(cents)]
+        ts_rel = ts - ts.min()
+        codes = np.cumsum(np.r_[np.int64(0), (uid[1:] != uid[:-1])
+                                .astype(np.int64)])
+        width = np.int64(ts_rel.max()) + look_us + 2
+        n_codes = int(codes[-1]) + 1
+        if n_codes > (2**62) // int(width):
+            # overflow fallback: per-user slice searchsorted (python per
+            # user only on this path; unreachable under data-derived
+            # bucket fan-out unless the ts span is ~centuries)
+            starts = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]),
+                           len(uid)]
+            lo = np.empty(len(uid), dtype=np.int64)
+            hi = np.empty(len(uid), dtype=np.int64)
+            for s, e in zip(starts[:-1], starts[1:]):
+                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - look_us,
+                                              side="left")
+                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e],
+                                              side="right")
+        else:
+            key = codes * width + ts_rel
+            lo = np.searchsorted(key, codes * width + (ts_rel - look_us),
+                                 side="left")
+            hi = np.searchsorted(key, codes * width + ts_rel,
+                                 side="right")
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "range_sum_cents": prefix[hi] - prefix[lo]}
+        )
+
+    bucketed = ds.map_batches(bucket, batch_format="pandas")
+    return co_group_blocks(bucketed, "_b", window, _RANGESUM_SCHEMA)
+
+
+RANGE_WINDOW_SUM_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS range_sum_cents
+FROM events
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -5023,4 +5109,5 @@ SQL_PAIRED = {
     "q12_priority_lines": (q12_priority_lines, Q12_PRIORITY_LINES_SQL),
     "moving_sum_rows": (moving_sum_rows, MOVING_SUM_ROWS_SQL),
     "dense_rank_orders": (dense_rank_orders, DENSE_RANK_ORDERS_SQL),
+    "range_window_sum": (range_window_sum, RANGE_WINDOW_SUM_SQL),
 }

@@ -443,3 +443,34 @@ def test_dense_rank_orders_matches_pandas(ray_session):
         cc = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5)
         assert (pd.DataFrame({"c": cc, "r": g["dense_rank"]})
                 .groupby("c")["r"].nunique() == 1).all()
+
+
+def test_range_window_sum_matches_bruteforce(ray_session):
+    from bgdss_ray.queries import range_window_sum
+
+    got = (range_window_sum(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    cents = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = ev["user_id"].to_numpy()
+    look = np.int64(24 * 3600 * 1_000_000)
+    # independent O(n^2)-per-user oracle: position-free [t-24h, t]
+    # membership, so equal-ts peers share one frame by construction
+    # (the RANGE rule pandas' row-wise rolling gets wrong on ties)
+    want = np.empty(len(ev), dtype=np.int64)
+    for i in range(len(ev)):
+        m = (uid == uid[i]) & (ts >= ts[i] - look) & (ts <= ts[i])
+        want[i] = cents[m].sum()
+    oracle = (pd.DataFrame({"event_id": ev["event_id"],
+                            "range_sum_cents": want})
+              .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+    # frame always contains the row itself: a user's earliest event's
+    # frame is exactly its own value
+    first = (ev.assign(c=cents, t=ts).sort_values("t")
+             .groupby("user_id").first())
+    lookup = got.set_index("event_id")["range_sum_cents"]
+    assert (lookup.loc[first["event_id"]].to_numpy()
+            == first["c"].to_numpy()).all()
