@@ -122,6 +122,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("moving_sum_rows", SQL_PAIRED["moving_sum_rows"][0]),
         ("dense_rank_orders", SQL_PAIRED["dense_rank_orders"][0]),
         ("range_window_sum", SQL_PAIRED["range_window_sum"][0]),
+        ("above_avg_orders", SQL_PAIRED["above_avg_orders"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

@@ -474,3 +474,25 @@ def test_range_window_sum_matches_bruteforce(ray_session):
     lookup = got.set_index("event_id")["range_sum_cents"]
     assert (lookup.loc[first["event_id"]].to_numpy()
             == first["c"].to_numpy()).all()
+
+
+def test_above_avg_orders_matches_pandas(ray_session):
+    from bgdss_ray.queries import above_avg_orders
+
+    got = set(above_avg_orders(SF).to_pandas()["o_orderkey"])
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5
+                     ).astype(np.int64)
+    grp = pd.Series(cents).groupby(orders["o_custkey"].to_numpy())
+    keep = cents * grp.transform("size").to_numpy() > \
+        grp.transform("sum").to_numpy()
+    want = set(orders["o_orderkey"].to_numpy()[keep])
+    assert got == want
+    # anti-concentration: per customer the minimum order never qualifies,
+    # so every customer keeps strictly fewer orders than they have
+    sel = orders[orders["o_orderkey"].isin(got)]
+    n_sel = sel.groupby("o_custkey").size()
+    n_all = orders.groupby("o_custkey").size()
+    assert (n_sel < n_all.loc[n_sel.index]).all()
