@@ -123,6 +123,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("dense_rank_orders", SQL_PAIRED["dense_rank_orders"][0]),
         ("range_window_sum", SQL_PAIRED["range_window_sum"][0]),
         ("above_avg_orders", SQL_PAIRED["above_avg_orders"][0]),
+        ("percent_rank_orders", SQL_PAIRED["percent_rank_orders"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

@@ -5065,6 +5065,99 @@ WHERE CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) * a.n > a.s
 """
 
 
+_PRK_PART = pa.schema(
+    [("o_orderpriority", pa.string()), ("hb", pa.int64()),
+     ("n", pa.int64())]
+)
+_PRK_OUT = pa.schema(
+    [("o_orderkey", pa.int64()), ("rnk", pa.int64()),
+     ("n_rows", pa.int64())]
+)
+
+
+def percent_rank_orders(sf_dir: str):
+    """Distributed RANK + partition count — the exact integer pieces of
+    PERCENT_RANK (= (rnk-1)/(n_rows-1)), emitted as integers so the SQL
+    pairing is bit-exact by construction (the repo's no-floats-in-paired-
+    surfaces rule; the double derives consumer-side in one division).
+
+    Same value-range split as ``dense_rank_orders`` but counting ROWS
+    below, not distinct values: pass 1 is a per-batch (priority, bin)
+    histogram folded by ``fold_binned_counts`` (no per-group merge loop);
+    the driver exclusive-cumsums per-priority row counts into bin rank
+    offsets and partition totals, broadcast via ray.put. Pass 2 re-bins
+    the rows in ONE shuffle and adds pandas' C min-rank within
+    (priority, bin). RANK's tie rule (equal cents share the LOWEST rank)
+    is method='min' exactly. No priority class co-located, ever."""
+    from .ops.frames import arrow_frame, co_group_blocks, fold_binned_counts
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    SHIFT = 12
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        out = (pd.DataFrame(
+                   {"o_orderpriority": df["o_orderpriority"].to_numpy(),
+                    "hb": cents >> SHIFT})
+               .groupby(["o_orderpriority", "hb"], sort=False)
+               .size().rename("n").reset_index())
+        return arrow_frame(out, _PRK_PART)
+
+    counts = fold_binned_counts(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["o_orderpriority", "hb"], _PRK_PART, bucket_col="hb",
+    ).to_pandas()
+
+    counts = counts.sort_values(["o_orderpriority", "hb"],
+                                kind="mergesort")
+    grp_cum = counts.groupby("o_orderpriority", sort=False)["n"].cumsum()
+    counts["off"] = (grp_cum - counts["n"]).astype(np.int64)
+    totals = counts.groupby("o_orderpriority", sort=False)["n"].sum()
+    counts["n_rows"] = counts["o_orderpriority"].map(totals).astype(
+        np.int64)
+    off_ref = ray.put(counts[["o_orderpriority", "hb", "off", "n_rows"]])
+
+    def add_bin(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+             "o_orderpriority": df["o_orderpriority"].to_numpy(),
+             "hb": cents >> SHIFT, "cents": cents}
+        )
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        m = df.merge(off, on=["o_orderpriority", "hb"], how="left")
+        within = (m.groupby(["o_orderpriority", "hb"], sort=False)["cents"]
+                  .rank(method="min").astype(np.int64))
+        return pd.DataFrame(
+            {"o_orderkey": m["o_orderkey"].to_numpy(),
+             "rnk": m["off"].to_numpy(dtype=np.int64) + within.to_numpy(),
+             "n_rows": m["n_rows"].to_numpy(dtype=np.int64)}
+        )
+
+    return co_group_blocks(
+        ds.map_batches(add_bin, batch_format="pandas"),
+        "hb", rank_block, _PRK_OUT,
+    )
+
+
+PERCENT_RANK_ORDERS_SQL = """
+SELECT o_orderkey,
+       RANK() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+       ) AS rnk,
+       COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_rows
+FROM orders
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -5172,4 +5265,5 @@ SQL_PAIRED = {
     "dense_rank_orders": (dense_rank_orders, DENSE_RANK_ORDERS_SQL),
     "range_window_sum": (range_window_sum, RANGE_WINDOW_SUM_SQL),
     "above_avg_orders": (above_avg_orders, ABOVE_AVG_ORDERS_SQL),
+    "percent_rank_orders": (percent_rank_orders, PERCENT_RANK_ORDERS_SQL),
 }

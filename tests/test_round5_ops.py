@@ -496,3 +496,33 @@ def test_above_avg_orders_matches_pandas(ray_session):
     n_sel = sel.groupby("o_custkey").size()
     n_all = orders.groupby("o_custkey").size()
     assert (n_sel < n_all.loc[n_sel.index]).all()
+
+
+def test_percent_rank_orders_matches_pandas(ray_session):
+    from bgdss_ray.queries import percent_rank_orders
+
+    got = (percent_rank_orders(SF).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5
+                     ).astype(np.int64)
+    grp = pd.Series(cents).groupby(orders["o_orderpriority"].to_numpy())
+    want = (orders.assign(
+                rnk=grp.rank(method="min").astype(np.int64).to_numpy(),
+                n_rows=grp.transform("size").astype(np.int64).to_numpy())
+            [["o_orderkey", "rnk", "n_rows"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # RANK invariants per priority: min rank is 1, the count of rank-1
+    # rows equals the multiplicity of the minimum, max rank + its tie
+    # count - 1 == n_rows, and n_rows is the group size
+    m = got.merge(orders, on="o_orderkey")
+    for prio, g in m.groupby("o_orderpriority"):
+        assert g["rnk"].min() == 1
+        assert (g["n_rows"] == len(g)).all()
+        cc = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5)
+        assert (g["rnk"] == 1).sum() == (cc == cc.min()).sum()
+        top = g["rnk"].max()
+        assert top + (g["rnk"] == top).sum() - 1 == len(g)
