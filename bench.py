@@ -124,6 +124,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("range_window_sum", SQL_PAIRED["range_window_sum"][0]),
         ("above_avg_orders", SQL_PAIRED["above_avg_orders"][0]),
         ("percent_rank_orders", SQL_PAIRED["percent_rank_orders"][0]),
+        ("row_number_ntile", SQL_PAIRED["row_number_ntile"][0]),
+        ("event_cooccurrence", SQL_PAIRED["event_cooccurrence"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

@@ -5158,6 +5158,179 @@ FROM orders
 """
 
 
+_RNT_OUT = pa.schema(
+    [("o_orderkey", pa.int64()), ("rn", pa.int64()),
+     ("tile", pa.int64())]
+)
+
+
+def row_number_ntile(sf_dir: str):
+    """Distributed ROW_NUMBER + NTILE(4) per partition, no partition ever
+    co-located. Ordering is made total with the unique o_orderkey
+    tiebreaker, so both window functions are value-deterministic.
+
+    Third member of the value-range-split rank family
+    (``dense_rank_orders`` counts distinct values below,
+    ``percent_rank_orders`` counts rows below with the min-tie rule; this
+    one needs the FULL total order): pass 1 is the same per-batch
+    (priority, 4096-cent-bin) row histogram folded by
+    ``fold_binned_counts``; the driver exclusive-cumsums per-priority bin
+    row counts into offsets plus partition totals, broadcast via ray.put.
+    Pass 2 re-bins the rows in ONE shuffle; each block sorts its bins by
+    (cents, orderkey) — a np.lexsort over in-bin rows only — and the
+    0-based in-bin position plus the broadcast offset is the global
+    ROW_NUMBER. NTILE(4) then derives arithmetically from (rn, n_rows):
+    with q, r = divmod(n, 4), the first r tiles take q+1 rows — exactly
+    SQL's rule, no second pass."""
+    from .ops.frames import arrow_frame, co_group_blocks, fold_binned_counts
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    SHIFT, K = 12, 4
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        out = (pd.DataFrame(
+                   {"o_orderpriority": df["o_orderpriority"].to_numpy(),
+                    "hb": cents >> SHIFT})
+               .groupby(["o_orderpriority", "hb"], sort=False)
+               .size().rename("n").reset_index())
+        return arrow_frame(out, _PRK_PART)
+
+    counts = fold_binned_counts(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["o_orderpriority", "hb"], _PRK_PART, bucket_col="hb",
+    ).to_pandas()
+
+    counts = counts.sort_values(["o_orderpriority", "hb"],
+                                kind="mergesort")
+    grp_cum = counts.groupby("o_orderpriority", sort=False)["n"].cumsum()
+    counts["off"] = (grp_cum - counts["n"]).astype(np.int64)
+    totals = counts.groupby("o_orderpriority", sort=False)["n"].sum()
+    counts["n_rows"] = counts["o_orderpriority"].map(totals).astype(
+        np.int64)
+    off_ref = ray.put(counts[["o_orderpriority", "hb", "off", "n_rows"]])
+
+    def add_bin(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+             "o_orderpriority": df["o_orderpriority"].to_numpy(),
+             "hb": cents >> SHIFT, "cents": cents}
+        )
+
+    def number_block(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        m = df.merge(off, on=["o_orderpriority", "hb"], how="left")
+        grp, _ = pd.factorize(
+            m["o_orderpriority"].astype(str) + "\x00"
+            + m["hb"].astype(str), sort=False)
+        order = np.lexsort((m["o_orderkey"].to_numpy(),
+                            m["cents"].to_numpy(), grp))
+        # 0-based position within each (priority, bin) run of the sort
+        gs = grp[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        run_id = np.cumsum(np.r_[True, gs[1:] != gs[:-1]]) - 1
+        pos_sorted = np.arange(len(gs)) - starts[run_id]
+        pos = np.empty(len(gs), dtype=np.int64)
+        pos[order] = pos_sorted
+        rn = m["off"].to_numpy(dtype=np.int64) + pos + 1
+        n = m["n_rows"].to_numpy(dtype=np.int64)
+        q, r = n // K, n % K
+        cut = r * (q + 1)
+        qs = np.maximum(q, 1)
+        tile = np.where(rn <= cut, (rn - 1) // (q + 1) + 1,
+                        r + (rn - cut - 1) // qs + 1)
+        return pd.DataFrame(
+            {"o_orderkey": m["o_orderkey"].to_numpy(),
+             "rn": rn, "tile": tile.astype(np.int64)}
+        )
+
+    return co_group_blocks(
+        ds.map_batches(add_bin, batch_format="pandas"),
+        "hb", number_block, _RNT_OUT,
+    )
+
+
+ROW_NUMBER_NTILE_SQL = """
+SELECT o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       NTILE(4) OVER w AS tile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT),
+                      o_orderkey)
+"""
+
+
+_COOC_PART = pa.schema(
+    [("t1", pa.string()), ("t2", pa.string()), ("n", pa.int64())]
+)
+
+
+def event_cooccurrence(sf_dir: str):
+    """Market-basket pair counts: for every unordered pair of event
+    types, how many distinct users did BOTH — the co-occurrence matrix
+    behind association rules / item-similarity, which SQL can only state
+    as a self-join that explodes quadratically per user.
+
+    Linear physical plan, no self-join: per-batch DISTINCT (user, type)
+    compacts the stream, ONE user-hash bucket shuffle co-locates each
+    user's type set, and each bucket builds its user x type 0/1 matrix
+    (factorize + scatter) whose single int64 matmul M.T @ M yields every
+    pair count at once — per-user Python never runs, pairs with zero
+    support never materialize. Egress is O(buckets x typepairs) partial
+    rows; the driver folds and emits (t1, t2, n_users) with t1 < t2."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    n_buckets = derived_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.drop_duplicates().copy()
+        e["_b"] = (e["user_id"].to_numpy(dtype=np.int64)
+                   % n_buckets).astype(np.int64)
+        return e
+
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.drop_duplicates(["user_id", "event_type"])
+        tcode, types = pd.factorize(e["event_type"], sort=True)
+        ucode, _ = pd.factorize(e["user_id"])
+        m = np.zeros((ucode.max() + 1, len(types)), dtype=np.int64)
+        m[ucode, tcode] = 1
+        c = m.T @ m
+        iu, ju = np.triu_indices(len(types), k=1)
+        n = c[iu, ju]
+        keep = n > 0
+        return pd.DataFrame(
+            {"t1": np.asarray(types)[iu[keep]],
+             "t2": np.asarray(types)[ju[keep]], "n": n[keep]}
+        )
+
+    parts = co_group_blocks(
+        ds.map_batches(partial, batch_format="pandas"),
+        "_b", pairs_block, _COOC_PART,
+    ).to_pandas()
+    out = (parts.groupby(["t1", "t2"], as_index=False)["n"].sum()
+           .rename(columns={"n": "n_users"})
+           .sort_values(["t1", "t2"]).reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+EVENT_COOCCURRENCE_SQL = """
+SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events) a
+JOIN (SELECT DISTINCT user_id, event_type FROM events) b USING (user_id)
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -5266,4 +5439,6 @@ SQL_PAIRED = {
     "range_window_sum": (range_window_sum, RANGE_WINDOW_SUM_SQL),
     "above_avg_orders": (above_avg_orders, ABOVE_AVG_ORDERS_SQL),
     "percent_rank_orders": (percent_rank_orders, PERCENT_RANK_ORDERS_SQL),
+    "row_number_ntile": (row_number_ntile, ROW_NUMBER_NTILE_SQL),
+    "event_cooccurrence": (event_cooccurrence, EVENT_COOCCURRENCE_SQL),
 }

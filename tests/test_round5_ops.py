@@ -526,3 +526,58 @@ def test_percent_rank_orders_matches_pandas(ray_session):
         assert (g["rnk"] == 1).sum() == (cc == cc.min()).sum()
         top = g["rnk"].max()
         assert top + (g["rnk"] == top).sum() - 1 == len(g)
+
+
+def test_row_number_ntile_matches_pandas(ray_session):
+    from bgdss_ray.queries import row_number_ntile
+
+    got = (row_number_ntile(SF).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5
+                     ).astype(np.int64)
+    o = orders.assign(cents=cents).sort_values(
+        ["o_orderpriority", "cents", "o_orderkey"], kind="mergesort")
+    rn = o.groupby("o_orderpriority", sort=False).cumcount().to_numpy() + 1
+    n = o.groupby("o_orderpriority", sort=False)["o_orderkey"].transform(
+        "size").to_numpy()
+    q, r = n // 4, n % 4
+    cut = r * (q + 1)
+    tile = np.where(rn <= cut, (rn - 1) // (q + 1) + 1,
+                    r + (rn - cut - 1) // np.maximum(q, 1) + 1)
+    want = (pd.DataFrame({"o_orderkey": o["o_orderkey"].to_numpy(),
+                          "rn": rn, "tile": tile.astype(np.int64)})
+            .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # invariants: rn is a permutation of 1..n per priority; NTILE sizes
+    # are q+1 for the first r tiles, q after, and never increase
+    m = got.merge(orders[["o_orderkey", "o_orderpriority"]], on="o_orderkey")
+    for prio, g in m.groupby("o_orderpriority"):
+        assert sorted(g["rn"]) == list(range(1, len(g) + 1))
+        sizes = g.groupby("tile").size()
+        assert list(sizes.index) == list(range(1, min(4, len(g)) + 1))
+        assert (sizes.diff().dropna() <= 0).all()
+        assert sizes.max() - sizes.min() <= 1
+
+
+def test_event_cooccurrence_matches_pandas(ray_session):
+    from bgdss_ray.queries import event_cooccurrence
+
+    got = event_cooccurrence(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    d = ev.drop_duplicates()
+    j = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+    j = j[j["event_type_a"] < j["event_type_b"]]
+    want = (j.groupby(["event_type_a", "event_type_b"])
+            .size().rename("n_users").reset_index()
+            .rename(columns={"event_type_a": "t1", "event_type_b": "t2"})
+            .sort_values(["t1", "t2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # pair support never exceeds either type's own distinct-user count
+    per_type = d.groupby("event_type")["user_id"].nunique()
+    assert (got["n_users"] <= got["t1"].map(per_type).to_numpy()).all()
+    assert (got["n_users"] <= got["t2"].map(per_type).to_numpy()).all()
+    assert (got["t1"] < got["t2"]).all()
