@@ -126,6 +126,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("percent_rank_orders", SQL_PAIRED["percent_rank_orders"][0]),
         ("row_number_ntile", SQL_PAIRED["row_number_ntile"][0]),
         ("event_cooccurrence", SQL_PAIRED["event_cooccurrence"][0]),
+        ("all_priority_customers", SQL_PAIRED["all_priority_customers"][0]),
+        ("spend_deciles", SQL_PAIRED["spend_deciles"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

@@ -5331,6 +5331,184 @@ GROUP BY 1, 2
 """
 
 
+_DIV_OUT = pa.schema([("o_custkey", pa.int64())])
+
+
+def all_priority_customers(sf_dir: str):
+    """Relational division (Codd's ÷): customers whose orders cover EVERY
+    priority class that exists anywhere in the table — the for-all
+    quantifier SQL encodes as COUNT(DISTINCT) = global count.
+
+    The divisor cardinality is a tiny first pass (per-batch unique values
+    of the low-cardinality column, union on the driver). The dividend
+    pass is per-batch DISTINCT (cust, priority) compaction, then ONE
+    custkey-hash bucket shuffle; each bucket's vectorized
+    groupby-nunique == P filter is FINAL because a customer never
+    straddles buckets. Output stays a Dataset — nothing folds on the
+    driver."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    uniq = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].unique()}),
+        batch_format="pandas",
+    ).to_pandas()
+    n_prios = int(uniq["o_orderpriority"].nunique())
+    n_buckets = derived_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.drop_duplicates().copy()
+        e["_b"] = (e["o_custkey"].to_numpy(dtype=np.int64)
+                   % n_buckets).astype(np.int64)
+        return e
+
+    def divide(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.drop_duplicates(["o_custkey", "o_orderpriority"])
+             .groupby("o_custkey", sort=False)["o_orderpriority"].size())
+        return pd.DataFrame(
+            {"o_custkey": c.index[c.to_numpy() == n_prios].to_numpy(
+                dtype=np.int64)}
+        )
+
+    return co_group_blocks(
+        ds.map_batches(partial, batch_format="pandas"),
+        "_b", divide, _DIV_OUT,
+    )
+
+
+ALL_PRIORITY_CUSTOMERS_SQL = """
+SELECT o_custkey
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(DISTINCT o_orderpriority) =
+       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
+_SPD_TOT = pa.schema(
+    [("o_custkey", pa.int64()), ("n_orders", pa.int64()),
+     ("spend", pa.int64())]
+)
+_SPD_HIST = pa.schema([("hb", pa.int64()), ("n", pa.int64())])
+_SPD_PART = pa.schema(
+    [("decile", pa.int64()), ("n_customers", pa.int64()),
+     ("sum_orders", pa.int64()), ("sum_spend_cents", pa.int64())]
+)
+
+
+def spend_deciles(sf_dir: str):
+    """Two-level analytics composite: per-customer spend totals, a GLOBAL
+    NTILE(10) over those derived totals (no PARTITION BY — the hardest
+    window shape, since a naive plan co-locates every customer), and a
+    per-decile rollup. The decile boundaries are value-deterministic via
+    the (spend, custkey) total order.
+
+    Three bounded exchanges: (1) custkey-bucket co-group folds per-batch
+    (cust, count, spend-cents) partials into final totals — key-local, so
+    one shuffle; the compacted O(customers) table is materialized ONCE
+    and drives both global passes. (2) A spend-value histogram
+    (65536-cent bins) folds to the driver, whose exclusive cumsum is the
+    global rank offset table, broadcast via ray.put. (3) Totals re-bin by
+    spend value — ONE shuffle in which no bin exceeds a value range —
+    and each block lexsorts its bins, adds the broadcast offsets for the
+    global ROW_NUMBER, derives NTILE(10) arithmetically, and emits
+    per-block decile partials; the driver folds 10 rows."""
+    from .ops.frames import arrow_frame, co_group_blocks, fold_binned_counts
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    SHIFT, K = 16, 10
+    n_buckets = derived_buckets(ds.count())
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        out = (pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(
+                                 dtype=np.int64),
+                             "n_orders": 1, "spend": cents})
+               .groupby("o_custkey", as_index=False, sort=False).sum())
+        out["_b"] = (out["o_custkey"].to_numpy() % n_buckets).astype(
+            np.int64)
+        return out
+
+    def tot_final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("o_custkey", as_index=False, sort=False)
+                [["n_orders", "spend"]].sum())
+
+    totals = co_group_blocks(
+        ds.map_batches(tot_partial, batch_format="pandas"),
+        "_b", tot_final, _SPD_TOT,
+    ).materialize()
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        out = (pd.DataFrame({"hb": df["spend"].to_numpy() >> SHIFT})
+               .groupby("hb", sort=False).size().rename("n")
+               .reset_index())
+        return arrow_frame(out, _SPD_HIST)
+
+    counts = fold_binned_counts(
+        totals.map_batches(hist, batch_format="pandas"),
+        ["hb"], _SPD_HIST,
+    ).to_pandas().sort_values("hb")
+    counts["off"] = (counts["n"].cumsum() - counts["n"]).astype(np.int64)
+    n_total = int(counts["n"].sum())
+    off_ref = ray.put(counts[["hb", "off"]])
+
+    def add_bin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hb"] = (df["spend"].to_numpy() >> SHIFT).astype(np.int64)
+        return df
+
+    def decile_block(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        m = df.merge(off, on="hb", how="left")
+        hb = m["hb"].to_numpy()
+        order = np.lexsort((m["o_custkey"].to_numpy(),
+                            m["spend"].to_numpy(), hb))
+        hs = hb[order]
+        new = np.r_[True, hs[1:] != hs[:-1]]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        pos_sorted = np.arange(len(hs)) - starts[run_id]
+        pos = np.empty(len(hs), dtype=np.int64)
+        pos[order] = pos_sorted
+        rn = m["off"].to_numpy(dtype=np.int64) + pos + 1
+        q, r = divmod(n_total, K)
+        cut = r * (q + 1)
+        tile = np.where(rn <= cut, (rn - 1) // (q + 1) + 1,
+                        r + (rn - cut - 1) // max(q, 1) + 1)
+        return (pd.DataFrame({"decile": tile.astype(np.int64),
+                              "n_customers": 1,
+                              "sum_orders": m["n_orders"].to_numpy(),
+                              "sum_spend_cents": m["spend"].to_numpy()})
+                .groupby("decile", as_index=False, sort=False).sum())
+
+    parts = co_group_blocks(
+        totals.map_batches(add_bin, batch_format="pandas"),
+        "hb", decile_block, _SPD_PART,
+    ).to_pandas()
+    out = (parts.groupby("decile", as_index=False).sum()
+           .sort_values("decile").reset_index(drop=True))
+    return out.astype(np.int64)
+
+
+SPEND_DECILES_SQL = """
+WITH t AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+), d AS (
+  SELECT *, NTILE(10) OVER (ORDER BY spend, o_custkey) AS decile FROM t
+)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS sum_orders,
+       CAST(SUM(spend) AS BIGINT) AS sum_spend_cents
+FROM d GROUP BY decile
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -5441,4 +5619,7 @@ SQL_PAIRED = {
     "percent_rank_orders": (percent_rank_orders, PERCENT_RANK_ORDERS_SQL),
     "row_number_ntile": (row_number_ntile, ROW_NUMBER_NTILE_SQL),
     "event_cooccurrence": (event_cooccurrence, EVENT_COOCCURRENCE_SQL),
+    "all_priority_customers": (
+        all_priority_customers, ALL_PRIORITY_CUSTOMERS_SQL),
+    "spend_deciles": (spend_deciles, SPEND_DECILES_SQL),
 }

@@ -581,3 +581,56 @@ def test_event_cooccurrence_matches_pandas(ray_session):
     assert (got["n_users"] <= got["t1"].map(per_type).to_numpy()).all()
     assert (got["n_users"] <= got["t2"].map(per_type).to_numpy()).all()
     assert (got["t1"] < got["t2"]).all()
+
+
+def test_all_priority_customers_matches_pandas(ray_session):
+    from bgdss_ray.queries import all_priority_customers
+
+    got = (all_priority_customers(SF).to_pandas()
+           .sort_values("o_custkey").reset_index(drop=True))
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    per = orders.groupby("o_custkey")["o_orderpriority"].nunique()
+    p = orders["o_orderpriority"].nunique()
+    want = pd.DataFrame(
+        {"o_custkey": np.sort(per.index[per == p].to_numpy())})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # division invariants: every selected customer covers all P classes,
+    # and any customer with >= P orders of P distinct classes is selected
+    sel = set(got["o_custkey"])
+    for ck, g in orders.groupby("o_custkey"):
+        assert (ck in sel) == (g["o_orderpriority"].nunique() == p)
+
+
+def test_spend_deciles_matches_pandas(ray_session):
+    from bgdss_ray.queries import spend_deciles
+
+    got = spend_deciles(SF)
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5
+                     ).astype(np.int64)
+    t = (orders.assign(spend=cents)
+         .groupby("o_custkey").agg(n_orders=("spend", "size"),
+                                   spend=("spend", "sum"))
+         .reset_index().sort_values(["spend", "o_custkey"],
+                                    kind="mergesort"))
+    n = len(t)
+    rn = np.arange(1, n + 1)
+    q, r = divmod(n, 10)
+    cut = r * (q + 1)
+    t["decile"] = np.where(rn <= cut, (rn - 1) // (q + 1) + 1,
+                           r + (rn - cut - 1) // max(q, 1) + 1)
+    want = (t.groupby("decile")
+            .agg(n_customers=("o_custkey", "size"),
+                 sum_orders=("n_orders", "sum"),
+                 sum_spend_cents=("spend", "sum"))
+            .reset_index().astype(np.int64))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # NTILE invariants: decile sizes differ by <= 1, first tiles take the
+    # extra row, totals reconcile with the raw table
+    sizes = got.set_index("decile")["n_customers"]
+    assert sizes.max() - sizes.min() <= 1
+    assert (sizes.diff().dropna() <= 0).all()
+    assert got["sum_orders"].sum() == len(orders)
+    assert got["sum_spend_cents"].sum() == cents.sum()
