@@ -128,6 +128,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("event_cooccurrence", SQL_PAIRED["event_cooccurrence"][0]),
         ("all_priority_customers", SQL_PAIRED["all_priority_customers"][0]),
         ("spend_deciles", SQL_PAIRED["spend_deciles"][0]),
+        ("last_purchase_ffill", SQL_PAIRED["last_purchase_ffill"][0]),
+        ("followed_within_hour", SQL_PAIRED["followed_within_hour"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

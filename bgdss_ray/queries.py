@@ -5509,6 +5509,167 @@ FROM d GROUP BY decile
 """
 
 
+_FFILL_OUT = pa.schema(
+    [("event_id", pa.int64()), ("last_purchase_cents", pa.int64())]
+)
+
+
+def last_purchase_ffill(sf_dir: str):
+    """Gap-fill / as-of state propagation: for every event, the SAME
+    user's most recent purchase amount at or before it — SQL's
+    LAST_VALUE(... IGNORE NULLS) over an unbounded ROWS frame, the shape
+    behind forward-fill, SCD-as-of lookups and last-known-state joins.
+    The (ts, event_id) total order makes it value-deterministic; events
+    before the user's first purchase coalesce to -1 so the paired
+    surface stays non-null int64.
+
+    ONE user-hash bucket shuffle; inside the bucket a single
+    np.maximum.accumulate over purchase indices forward-fills the whole
+    user-major sorted block, and a run-start comparison resets the fill
+    at user boundaries — no per-user Python, no pairwise expansion."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events",
+             ["event_id", "user_id", "ts", "event_type", "value"])
+    n_buckets = derived_buckets(ds.count())
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].to_numpy(dtype=np.int64)
+                    % n_buckets).astype(np.int64)
+        return df
+
+    def ffill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64)
+        n = len(g)
+        mask = g["event_type"].to_numpy() == "purchase"
+        idx = np.where(mask, np.arange(n, dtype=np.int64), np.int64(-1))
+        filled = np.maximum.accumulate(idx)
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        run_start = np.flatnonzero(new)[np.cumsum(new) - 1]
+        ok = filled >= run_start
+        out = np.where(ok, cents[np.maximum(filled, 0)], np.int64(-1))
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "last_purchase_cents": out})
+
+    bucketed = ds.map_batches(bucket, batch_format="pandas")
+    return co_group_blocks(bucketed, "_b", ffill, _FFILL_OUT)
+
+
+LAST_PURCHASE_FFILL_SQL = """
+SELECT event_id,
+       COALESCE(LAST_VALUE(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         -1) AS last_purchase_cents
+FROM events
+"""
+
+
+_FOLLOW_PART = pa.schema(
+    [("t1", pa.string()), ("t2", pa.string()), ("n", pa.int64())]
+)
+
+
+def followed_within_hour(sf_dir: str):
+    """Sequential-pattern counts: for every ordered event-type pair
+    (t1, t2), how many times a user's t1 event was followed by a t2
+    event STRICTLY later but within one hour — the temporal-association
+    matrix behind next-action models, which SQL states as a per-user
+    banded self-join.
+
+    No pairwise expansion: ONE user-hash bucket shuffle; inside the
+    bucket the strict-after / within-hour bounds are two searchsorted
+    passes over the composite user-major (user, ts) key (the
+    ``banded_event_pairs`` stride idiom, with the same per-user overflow
+    fallback), and each follower-type's count inside [lo, hi) is a
+    prefix-sum difference — T prefix arrays, then one bincount per
+    follower type folds the pair matrix. Egress is O(buckets x T^2)
+    partials; the driver folds and emits (t1, t2, n_pairs)."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+    hour_us = np.int64(3600 * 1_000_000)
+    n_buckets = derived_buckets(ds.count())
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].to_numpy(dtype=np.int64)
+                    % n_buckets).astype(np.int64)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tcode, types = pd.factorize(g["event_type"], sort=True)
+        ts_rel = ts - ts.min()
+        codes = np.cumsum(np.r_[np.int64(0), (uid[1:] != uid[:-1])
+                                .astype(np.int64)])
+        width = np.int64(ts_rel.max()) + hour_us + 2
+        n_codes = int(codes[-1]) + 1
+        if n_codes > (2**62) // int(width):
+            starts = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]),
+                           len(uid)]
+            lo = np.empty(len(uid), dtype=np.int64)
+            hi = np.empty(len(uid), dtype=np.int64)
+            for s, e in zip(starts[:-1], starts[1:]):
+                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e],
+                                              side="right")
+                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + hour_us,
+                                              side="right")
+        else:
+            key = codes * width + ts_rel
+            lo = np.searchsorted(key, codes * width + ts_rel,
+                                 side="right")
+            hi = np.searchsorted(key, codes * width + (ts_rel + hour_us),
+                                 side="right")
+        rows = []
+        nt = len(types)
+        for tb in range(nt):
+            pref = np.r_[np.int64(0),
+                         np.cumsum((tcode == tb).astype(np.int64))]
+            cnt = pref[hi] - pref[lo]
+            per_t1 = np.bincount(tcode, weights=cnt, minlength=nt).astype(
+                np.int64)
+            keep = per_t1 > 0
+            if keep.any():
+                rows.append(pd.DataFrame(
+                    {"t1": np.asarray(types)[keep],
+                     "t2": types[tb], "n": per_t1[keep]}))
+        if not rows:
+            return pd.DataFrame({"t1": pd.Series([], dtype=object),
+                                 "t2": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.concat(rows, ignore_index=True)
+
+    parts = co_group_blocks(
+        ds.map_batches(bucket, batch_format="pandas"),
+        "_b", pairs, _FOLLOW_PART,
+    ).to_pandas()
+    out = (parts.groupby(["t1", "t2"], as_index=False)["n"].sum()
+           .rename(columns={"n": "n_pairs"})
+           .sort_values(["t1", "t2"]).reset_index(drop=True))
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out
+
+
+FOLLOWED_WITHIN_HOUR_SQL = """
+SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -5622,4 +5783,7 @@ SQL_PAIRED = {
     "all_priority_customers": (
         all_priority_customers, ALL_PRIORITY_CUSTOMERS_SQL),
     "spend_deciles": (spend_deciles, SPEND_DECILES_SQL),
+    "last_purchase_ffill": (last_purchase_ffill, LAST_PURCHASE_FFILL_SQL),
+    "followed_within_hour": (
+        followed_within_hour, FOLLOWED_WITHIN_HOUR_SQL),
 }

@@ -634,3 +634,46 @@ def test_spend_deciles_matches_pandas(ray_session):
     assert (sizes.diff().dropna() <= 0).all()
     assert got["sum_orders"].sum() == len(orders)
     assert got["sum_spend_cents"].sum() == cents.sum()
+
+
+def test_last_purchase_ffill_matches_pandas(ray_session):
+    from bgdss_ray.queries import last_purchase_ffill
+
+    got = (last_purchase_ffill(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    cents = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    pv = pd.Series(np.where(ev["event_type"].to_numpy() == "purchase",
+                            cents.astype(float), np.nan), index=ev.index)
+    filled = pv.groupby(ev["user_id"].to_numpy()).ffill()
+    want = (pd.DataFrame({"event_id": ev["event_id"].to_numpy(),
+                          "last_purchase_cents": filled.fillna(-1)
+                          .astype(np.int64).to_numpy()})
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # invariants: every purchase event carries its OWN cents; a user's
+    # rows before their first purchase are all -1
+    m = got.merge(ev, on="event_id")
+    pur = m[m["event_type"] == "purchase"]
+    own = np.floor(pur["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    assert (pur["last_purchase_cents"].to_numpy() == own).all()
+
+
+def test_followed_within_hour_matches_pandas(ray_session):
+    from bgdss_ray.queries import followed_within_hour
+
+    got = followed_within_hour(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    j = ev.merge(ev, on="user_id", suffixes=("_a", "_b"))
+    j = j[(j["ts_b"] > j["ts_a"])
+          & (j["ts_b"] <= j["ts_a"] + pd.Timedelta(hours=1))]
+    want = (j.groupby(["event_type_a", "event_type_b"])
+            .size().rename("n_pairs").reset_index()
+            .rename(columns={"event_type_a": "t1", "event_type_b": "t2"})
+            .sort_values(["t1", "t2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_pairs"] > 0).all()
