@@ -130,6 +130,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("spend_deciles", SQL_PAIRED["spend_deciles"][0]),
         ("last_purchase_ffill", SQL_PAIRED["last_purchase_ffill"][0]),
         ("followed_within_hour", SQL_PAIRED["followed_within_hour"][0]),
+        ("activity_orders_full", SQL_PAIRED["activity_orders_full"][0]),
+        ("priority_sets", SQL_PAIRED["priority_sets"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

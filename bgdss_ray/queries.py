@@ -5670,6 +5670,149 @@ GROUP BY 1, 2
 """
 
 
+_FULLJ_OUT = pa.schema(
+    [("k", pa.int64()), ("n_orders", pa.int64()), ("n_events", pa.int64())]
+)
+
+
+def activity_orders_full(sf_dir: str):
+    """FULL OUTER JOIN, both sides large and derived: per-key order
+    counts (orders) against per-key event counts (events), keeping keys
+    that exist on EITHER side — the reconciliation shape (which accounts
+    have activity but no orders, or orders but no activity?). Missing
+    sides coalesce to -1 so the paired surface stays non-null int64
+    (-1 is unambiguous: a key only appears with a side it has rows on).
+
+    Neither side is broadcast and no Dataset.join runs: each side
+    compacts per-batch partial counts tagged with its side id, the
+    tagged partials UNION into ONE key-hash bucket co-group, and the
+    in-block pandas pivot of side-tagged sums IS the full outer result —
+    a key's rows from both sides co-locate, so presence/absence resolves
+    vectorized in-block. One shuffle total. The orders side is filtered
+    to URGENT so both unmatched directions genuinely occur in the test
+    tables (every user has SOME order, few have an urgent one)."""
+    from .ops.frames import arrow_frame, co_group_blocks
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    orders = orders.filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).select_columns(["o_custkey"])
+    events = _pq(sf_dir, "events", ["user_id"])
+    n_buckets = derived_buckets(orders.count() + events.count())
+    part_schema = pa.schema(
+        [("k", pa.int64()), ("side", pa.int64()), ("n", pa.int64()),
+         ("_b", pa.int64())]
+    )
+
+    def make_partial(col: str, side: int):
+        def partial(df: pd.DataFrame) -> pa.Table:
+            out = (pd.DataFrame({"k": df[col].to_numpy(dtype=np.int64)})
+                   .groupby("k", sort=False).size().rename("n")
+                   .reset_index())
+            out["side"] = np.int64(side)
+            out["_b"] = (out["k"].to_numpy() % n_buckets).astype(np.int64)
+            return arrow_frame(out[["k", "side", "n", "_b"]], part_schema)
+        partial.__name__ = f"count_partial_{col}"
+        return partial
+
+    tagged = orders.map_batches(
+        make_partial("o_custkey", 0), batch_format="pandas"
+    ).union(events.map_batches(
+        make_partial("user_id", 1), batch_format="pandas"))
+
+    def full_outer(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g.groupby(["k", "side"], sort=False)["n"].sum()
+             .unstack("side"))
+        for side in (0, 1):
+            if side not in p.columns:
+                p[side] = np.nan
+        return pd.DataFrame(
+            {"k": p.index.to_numpy(dtype=np.int64),
+             "n_orders": p[0].fillna(-1).astype(np.int64).to_numpy(),
+             "n_events": p[1].fillna(-1).astype(np.int64).to_numpy()}
+        )
+
+    return co_group_blocks(tagged, "_b", full_outer, _FULLJ_OUT)
+
+
+ACTIVITY_ORDERS_FULL_SQL = """
+WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+     e AS (SELECT user_id AS k, COUNT(*) AS n_events
+           FROM events GROUP BY 1)
+SELECT COALESCE(o.k, e.k) AS k,
+       COALESCE(o.n_orders, -1) AS n_orders,
+       COALESCE(e.n_events, -1) AS n_events
+FROM o FULL JOIN e ON o.k = e.k
+"""
+
+
+_PSET_OUT = pa.schema(
+    [("o_custkey", pa.int64()), ("priority_set", pa.string())]
+)
+
+
+def priority_sets(sf_dir: str):
+    """Set-valued aggregate: per customer, the sorted distinct priority
+    classes joined into one string — SQL's
+    STRING_AGG(DISTINCT ... ORDER BY ...), the profile/tag-list shape.
+
+    No per-group string building: the divisor vocabulary is tiny (a
+    one-pass unique, like ``all_priority_customers``), so each
+    customer's SET is an int bitmask — per-batch DISTINCT (cust, prio)
+    compaction maps priorities to bits, ONE custkey-hash bucket shuffle
+    co-locates them, and the in-block groupby-sum of distinct bit values
+    ORs the mask. The 2^P possible strings are precomputed ONCE and the
+    final column is a single vectorized take — per-customer Python never
+    runs."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    uniq = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].unique()}),
+        batch_format="pandas",
+    ).to_pandas()
+    vocab = sorted(uniq["o_orderpriority"].unique())
+    bit = {p: 1 << i for i, p in enumerate(vocab)}
+    strings = np.array(
+        ["|".join(p for i, p in enumerate(vocab) if m >> i & 1)
+         for m in range(1 << len(vocab))], dtype=object)
+    n_buckets = derived_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.drop_duplicates()
+        out = pd.DataFrame(
+            {"o_custkey": e["o_custkey"].to_numpy(dtype=np.int64),
+             "m": e["o_orderpriority"].map(bit).to_numpy(dtype=np.int64)})
+        out["_b"] = (out["o_custkey"].to_numpy() % n_buckets).astype(
+            np.int64)
+        return out
+
+    def to_set(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct bit values per customer sum to the OR'd mask
+        d = (g.drop_duplicates(["o_custkey", "m"])
+             .groupby("o_custkey", sort=False)["m"].sum())
+        return pd.DataFrame(
+            {"o_custkey": d.index.to_numpy(dtype=np.int64),
+             "priority_set": strings[d.to_numpy(dtype=np.int64)]})
+
+    return co_group_blocks(
+        ds.map_batches(partial, batch_format="pandas"),
+        "_b", to_set, _PSET_OUT,
+    )
+
+
+PRIORITY_SETS_SQL = """
+SELECT o_custkey,
+       STRING_AGG(DISTINCT o_orderpriority, '|'
+                  ORDER BY o_orderpriority) AS priority_set
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -5786,4 +5929,7 @@ SQL_PAIRED = {
     "last_purchase_ffill": (last_purchase_ffill, LAST_PURCHASE_FFILL_SQL),
     "followed_within_hour": (
         followed_within_hour, FOLLOWED_WITHIN_HOUR_SQL),
+    "activity_orders_full": (
+        activity_orders_full, ACTIVITY_ORDERS_FULL_SQL),
+    "priority_sets": (priority_sets, PRIORITY_SETS_SQL),
 }

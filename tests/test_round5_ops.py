@@ -677,3 +677,45 @@ def test_followed_within_hour_matches_pandas(ray_session):
             .sort_values(["t1", "t2"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["n_pairs"] > 0).all()
+
+
+def test_activity_orders_full_matches_pandas(ray_session):
+    from bgdss_ray.queries import activity_orders_full
+
+    got = (activity_orders_full(SF).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    o = (orders[orders["o_orderpriority"] == "1-URGENT"]
+         .groupby("o_custkey").size().rename("n_orders"))
+    e = ev.groupby("user_id").size().rename("n_events")
+    want = (pd.concat([o, e], axis=1).fillna(-1).astype(np.int64)
+            .rename_axis("k").reset_index()
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # both unmatched directions genuinely occur, and -1 never pairs
+    # with -1 (a key appears only if SOME side has rows)
+    assert (got["n_orders"] == -1).any()
+    assert (got["n_events"] == -1).any()
+    assert ((got["n_orders"] != -1) | (got["n_events"] != -1)).all()
+
+
+def test_priority_sets_matches_pandas(ray_session):
+    from bgdss_ray.queries import priority_sets
+
+    got = (priority_sets(SF).to_pandas()
+           .sort_values("o_custkey").reset_index(drop=True))
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    want = (orders.groupby("o_custkey")["o_orderpriority"]
+            .agg(lambda s: "|".join(sorted(s.unique())))
+            .rename("priority_set").reset_index()
+            .sort_values("o_custkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # set semantics: parts are sorted, distinct, and from the vocabulary
+    vocab = set(orders["o_orderpriority"].unique())
+    for s in got["priority_set"]:
+        parts = s.split("|")
+        assert parts == sorted(set(parts))
+        assert set(parts) <= vocab
