@@ -132,6 +132,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("followed_within_hour", SQL_PAIRED["followed_within_hour"][0]),
         ("activity_orders_full", SQL_PAIRED["activity_orders_full"][0]),
         ("priority_sets", SQL_PAIRED["priority_sets"][0]),
+        ("monthly_order_growth", SQL_PAIRED["monthly_order_growth"][0]),
+        ("daily_retention", SQL_PAIRED["daily_retention"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

@@ -39,13 +39,19 @@ def co_group_blocks(ds, key: str, fn, schema: pa.Schema):
     carries ``schema``.
 
     Known residual (Ray-internal, cosmetic): the Sort operator ITSELF
-    emits a zero-field Arrow block per empty range partition (duplicate
-    sampled boundaries on a low-cardinality key), logging
-    ``new schema: .`` warnings before this wrapper ever runs — verified
-    with a minimal sort+typed-map repro on Ray 2.49.2. Those blocks are
-    empty, so no data mixes schemas; the dangerous class (UDF-emitted
-    untyped PANDAS empties unioned with typed blocks — the tfidf r3
-    abort) is what this helper eliminates."""
+    emits a zero-field block per empty range partition (duplicate
+    sampled boundaries on a low-cardinality key) and map_batches
+    BYPASSES the UDF on 0-row input blocks, passing the empty through —
+    so the ``schema.empty_table()`` branch below is unreachable on Ray
+    2.49.2 and the executor logs one RefBundle-schema warning per empty
+    partition: ``new schema: .`` when the sort's input blocks are Arrow,
+    ``new schema: PandasBlockSchema(names=[])`` when they are pandas
+    (verified with a minimal sort+typed-map repro, and again in round 5
+    on the bucket co-group queries). Those blocks are empty and every
+    downstream consumer here ends in ``to_pandas``/driver folds, so no
+    data mixes schemas; the dangerous class (UDF-emitted untyped PANDAS
+    empties unioned with typed blocks — the tfidf r3 abort) is what this
+    helper eliminates."""
 
     def wrapper(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -5813,6 +5813,122 @@ GROUP BY o_custkey
 """
 
 
+_MOG_PART = pa.schema(
+    [("month", pa.timestamp("us")), ("n_orders", pa.int64()),
+     ("revenue_cents", pa.int64())]
+)
+
+
+def monthly_order_growth(sf_dir: str):
+    """Month-over-month growth: per calendar month, order count, exact
+    revenue cents, and the PREVIOUS month's revenue (LAG over the global
+    month order, first month coalesced to -1) — the core trend-report
+    shape. The global window is legitimate driver work here: the month
+    axis is provably tiny (O(date-span) rows) while the heavy lifting —
+    the per-month fold over every order — is a per-batch combiner whose
+    egress is O(blocks x months), no shuffle at all."""
+    from .ops.frames import arrow_frame
+
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"month": pc.floor_temporal(t["o_orderdate"],
+                                        unit="month").to_pandas(),
+             "n_orders": 1,
+             "revenue_cents": _cents(t["o_totalprice"]).to_pandas()})
+        out = df.groupby("month", as_index=False, sort=False).sum()
+        return arrow_frame(out, _MOG_PART)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = (parts.groupby("month", as_index=False).sum()
+         .sort_values("month").reset_index(drop=True))
+    m["n_orders"] = m["n_orders"].astype(np.int64)
+    m["revenue_cents"] = m["revenue_cents"].astype(np.int64)
+    m["prev_revenue_cents"] = (m["revenue_cents"].shift(1).fillna(-1)
+                               .astype(np.int64))
+    return m
+
+
+MONTHLY_ORDER_GROWTH_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1)
+SELECT month, n_orders, revenue_cents,
+       COALESCE(LAG(revenue_cents) OVER (ORDER BY month), -1)
+         AS prev_revenue_cents
+FROM m
+"""
+
+
+_RET_PART = pa.schema(
+    [("day", pa.int64()), ("n_active", pa.int64()),
+     ("n_retained", pa.int64())]
+)
+
+
+def daily_retention(sf_dir: str):
+    """Cohort retention: per day, how many distinct users were active
+    AND came back the very next day — the canonical D1-retention metric.
+    SQL needs a distinct-pair self-join; the plan never joins: per-batch
+    DISTINCT (user, day) compaction, ONE user-hash bucket shuffle, and
+    in the user-major sorted block next-day return is a single
+    adjacent-row comparison (distinct days per user are sorted, so the
+    successor row is the nearest later day). Per-block (day, active,
+    retained) partials fold on the driver — O(date-span) rows."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    day_us = np.int64(86400 * 1_000_000)
+    n_buckets = derived_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = pd.DataFrame({"user_id": df["user_id"].to_numpy(
+                              dtype=np.int64),
+                          "day": ts // day_us}).drop_duplicates()
+        e["_b"] = (e["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return e
+
+    def retained(g: pd.DataFrame) -> pd.DataFrame:
+        e = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        uid = e["user_id"].to_numpy(dtype=np.int64)
+        day = e["day"].to_numpy(dtype=np.int64)
+        ret = np.r_[(uid[1:] == uid[:-1]) & (day[1:] == day[:-1] + 1),
+                    False]
+        return (pd.DataFrame({"day": day, "n_active": 1,
+                              "n_retained": ret.astype(np.int64)})
+                .groupby("day", as_index=False, sort=False).sum())
+
+    parts = co_group_blocks(
+        ds.map_batches(partial, batch_format="pandas"),
+        "_b", retained, _RET_PART,
+    ).to_pandas()
+    out = (parts.groupby("day", as_index=False).sum()
+           .sort_values("day").reset_index(drop=True))
+    return pd.DataFrame(
+        {"day": (out["day"].to_numpy() * day_us)
+                .astype("datetime64[us]"),
+         "n_active": out["n_active"].astype(np.int64),
+         "n_retained": out["n_retained"].astype(np.int64)})
+
+
+DAILY_RETENTION_SQL = """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events)
+SELECT a.day, COUNT(*) AS n_active,
+       CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained
+FROM d a
+LEFT JOIN d b ON b.user_id = a.user_id
+             AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY a.day
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
@@ -5932,4 +6048,7 @@ SQL_PAIRED = {
     "activity_orders_full": (
         activity_orders_full, ACTIVITY_ORDERS_FULL_SQL),
     "priority_sets": (priority_sets, PRIORITY_SETS_SQL),
+    "monthly_order_growth": (
+        monthly_order_growth, MONTHLY_ORDER_GROWTH_SQL),
+    "daily_retention": (daily_retention, DAILY_RETENTION_SQL),
 }

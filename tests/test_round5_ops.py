@@ -719,3 +719,52 @@ def test_priority_sets_matches_pandas(ray_session):
         parts = s.split("|")
         assert parts == sorted(set(parts))
         assert set(parts) <= vocab
+
+
+def test_monthly_order_growth_matches_pandas(ray_session):
+    from bgdss_ray.queries import monthly_order_growth
+
+    got = monthly_order_growth(SF)
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5
+                     ).astype(np.int64)
+    m = (orders.assign(
+             month=orders["o_orderdate"].dt.to_period("M")
+             .dt.to_timestamp(), revenue_cents=cents)
+         .groupby("month")
+         .agg(n_orders=("revenue_cents", "size"),
+              revenue_cents=("revenue_cents", "sum"))
+         .reset_index().sort_values("month").reset_index(drop=True))
+    m["prev_revenue_cents"] = (m["revenue_cents"].shift(1).fillna(-1)
+                               .astype(np.int64))
+    got2 = got.copy()
+    got2["month"] = got2["month"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(got2, m, check_dtype=False)
+    # LAG chain: prev of row i equals revenue of row i-1; first is -1
+    assert got["prev_revenue_cents"].iloc[0] == -1
+    assert (got["prev_revenue_cents"].iloc[1:].to_numpy()
+            == got["revenue_cents"].iloc[:-1].to_numpy()).all()
+    assert got["n_orders"].sum() == len(orders)
+
+
+def test_daily_retention_matches_pandas(ray_session):
+    from bgdss_ray.queries import daily_retention
+
+    got = daily_retention(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    d = (ev.assign(day=ev["ts"].dt.floor("D"))[["user_id", "day"]]
+         .drop_duplicates())
+    nxt = d.assign(day=d["day"] - pd.Timedelta(days=1))
+    mk = d.merge(nxt.assign(ret=1), on=["user_id", "day"], how="left")
+    want = (mk.groupby("day")
+            .agg(n_active=("user_id", "size"),
+                 n_retained=("ret", lambda s: int(s.notna().sum())))
+            .reset_index().sort_values("day").reset_index(drop=True))
+    got2 = got.copy()
+    got2["day"] = got2["day"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+    # retention bound: retained never exceeds active; the span's last
+    # day can retain no one beyond the data edge
+    assert (got["n_retained"] <= got["n_active"]).all()
