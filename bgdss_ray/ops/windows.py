@@ -189,3 +189,61 @@ def sliding_window_agg(ds, window_us: int = WINDOW_US,
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+# Stride guard for band_bounds: the composite-key path needs
+# n_codes * width to fit in int64. Module-level so tests can shrink it
+# to force (and pin) the per-user-slice fallback.
+STRIDE_GUARD = 2**62
+
+
+def band_bounds(uid: np.ndarray, ts: np.ndarray,
+                lo_delta: int, hi_delta: int,
+                lo_side: str = "left", hi_side: str = "right"):
+    """Per-key band bounds over USER-MAJOR SORTED (uid, ts) arrays: for
+    every row i, the half-open index range [lo[i], hi[i]) of the same
+    user's rows whose ts falls in the band [ts+lo_delta, ts+hi_delta]
+    (band endpoints open or closed per searchsorted ``side`` semantics:
+    lo_side='left' includes ties at the lower bound, hi_side='right'
+    includes ties at the upper; pass lo_side='right' at delta 0 for a
+    STRICTLY-after lower bound). This is the one shared implementation
+    of the composite-key stride idiom (``banded_event_pairs``,
+    ``range_window_sum``, ``followed_within_hour`` all hang on its
+    margin proof).
+
+    Both probes run as ONE vectorized searchsorted pair over the key
+    ``codes * width + ts_rel``: with
+    ``width = ts_span + max(|lo_delta|, |hi_delta|) + 2`` a probe at
+    ``ts_rel + delta`` stays strictly above the previous user's largest
+    key and strictly below the next user's smallest, so it can never
+    bleed across users. When ``n_codes * width`` would overflow int64
+    (ts spans of ~centuries), falls back to a per-user-slice
+    searchsorted loop — Python per USER only on that path."""
+    n = len(uid)
+    lo = np.empty(n, dtype=np.int64)
+    hi = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return lo, hi
+    lo_delta = np.int64(lo_delta)
+    hi_delta = np.int64(hi_delta)
+    ts_rel = ts - ts.min()
+    breaks = (uid[1:] != uid[:-1]).astype(np.int64)
+    codes = np.cumsum(np.r_[np.int64(0), breaks])
+    width = (np.int64(ts_rel.max())
+             + max(abs(lo_delta), abs(hi_delta)) + 2)
+    n_codes = int(codes[-1]) + 1
+    if n_codes > STRIDE_GUARD // int(width):
+        starts = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]),
+                       n]
+        for s, e in zip(starts[:-1], starts[1:]):
+            lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + lo_delta,
+                                          side=lo_side)
+            hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + hi_delta,
+                                          side=hi_side)
+    else:
+        key = codes * width + ts_rel
+        lo[:] = np.searchsorted(key, codes * width + (ts_rel + lo_delta),
+                                side=lo_side)
+        hi[:] = np.searchsorted(key, codes * width + (ts_rel + hi_delta),
+                                side=hi_side)
+    return lo, hi

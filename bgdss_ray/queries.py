@@ -943,38 +943,14 @@ def banded_event_pairs(sf_dir: str):
 
     def nearby(g: pd.DataFrame) -> pd.DataFrame:
         # One bucket holds MANY users; the band count runs as ONE
-        # vectorized searchsorted pair over a composite (user, ts) key
-        # that is globally monotone in the user-major sort — the user
-        # stride exceeds the bucket's ts span + band on both sides, so a
-        # query key can never bleed into a neighboring user's range.
+        # vectorized searchsorted pair via the shared composite-key
+        # stride idiom (ops/windows.band_bounds — margin proof there).
+        from .ops.windows import band_bounds
+
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
         uid = g["user_id"].to_numpy(dtype=np.int64)
         ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        ts_rel = ts - ts.min() if len(ts) else ts
-        codes = np.cumsum(np.r_[np.int64(0), (uid[1:] != uid[:-1])
-                                .astype(np.int64)])
-        width = (np.int64(ts_rel.max()) if len(ts_rel) else np.int64(0)) \
-            + 2 * band_us + 2
-        n_codes = int(codes[-1]) + 1 if len(codes) else 0
-        if n_codes and n_codes > (2**62) // int(width):
-            # overflow fallback: per-user slice searchsorted (python per
-            # user only on this path; unreachable under data-derived
-            # bucket fan-out unless the ts span is ~centuries)
-            starts = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]),
-                           len(uid)]
-            lo = np.empty(len(uid), dtype=np.int64)
-            hi = np.empty(len(uid), dtype=np.int64)
-            for s, e in zip(starts[:-1], starts[1:]):
-                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - band_us,
-                                              side="left")
-                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + band_us,
-                                              side="right")
-        else:
-            key = codes * width + ts_rel
-            lo = np.searchsorted(key, codes * width + (ts_rel - band_us),
-                                 side="left")
-            hi = np.searchsorted(key, codes * width + (ts_rel + band_us),
-                                 side="right")
+        lo, hi = band_bounds(uid, ts, -band_us, band_us, "left", "right")
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
@@ -4955,36 +4931,16 @@ def range_window_sum(sf_dir: str):
         return df
 
     def window(g: pd.DataFrame) -> pd.DataFrame:
+        from .ops.windows import band_bounds
+
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
         uid = g["user_id"].to_numpy(dtype=np.int64)
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(
             np.int64)
         prefix = np.r_[np.int64(0), np.cumsum(cents)]
-        ts_rel = ts - ts.min()
-        codes = np.cumsum(np.r_[np.int64(0), (uid[1:] != uid[:-1])
-                                .astype(np.int64)])
-        width = np.int64(ts_rel.max()) + look_us + 2
-        n_codes = int(codes[-1]) + 1
-        if n_codes > (2**62) // int(width):
-            # overflow fallback: per-user slice searchsorted (python per
-            # user only on this path; unreachable under data-derived
-            # bucket fan-out unless the ts span is ~centuries)
-            starts = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]),
-                           len(uid)]
-            lo = np.empty(len(uid), dtype=np.int64)
-            hi = np.empty(len(uid), dtype=np.int64)
-            for s, e in zip(starts[:-1], starts[1:]):
-                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - look_us,
-                                              side="left")
-                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e],
-                                              side="right")
-        else:
-            key = codes * width + ts_rel
-            lo = np.searchsorted(key, codes * width + (ts_rel - look_us),
-                                 side="left")
-            hi = np.searchsorted(key, codes * width + ts_rel,
-                                 side="right")
+        # hi at delta 0 side='right' IS RANGE's include-all-peers rule
+        lo, hi = band_bounds(uid, ts, -look_us, 0, "left", "right")
         return pd.DataFrame(
             {"event_id": g["event_id"].to_numpy(),
              "range_sum_cents": prefix[hi] - prefix[lo]}
@@ -5075,25 +5031,15 @@ _PRK_OUT = pa.schema(
 )
 
 
-def percent_rank_orders(sf_dir: str):
-    """Distributed RANK + partition count — the exact integer pieces of
-    PERCENT_RANK (= (rnk-1)/(n_rows-1)), emitted as integers so the SQL
-    pairing is bit-exact by construction (the repo's no-floats-in-paired-
-    surfaces rule; the double derives consumer-side in one division).
-
-    Same value-range split as ``dense_rank_orders`` but counting ROWS
-    below, not distinct values: pass 1 is a per-batch (priority, bin)
-    histogram folded by ``fold_binned_counts`` (no per-group merge loop);
-    the driver exclusive-cumsums per-priority row counts into bin rank
-    offsets and partition totals, broadcast via ray.put. Pass 2 re-bins
-    the rows in ONE shuffle and adds pandas' C min-rank within
-    (priority, bin). RANK's tie rule (equal cents share the LOWEST rank)
-    is method='min' exactly. No priority class co-located, ever."""
-    from .ops.frames import arrow_frame, co_group_blocks, fold_binned_counts
-
-    ds = _pq(sf_dir, "orders",
-             ["o_orderkey", "o_orderpriority", "o_totalprice"])
-    SHIFT = 12
+def _priority_bin_offsets(ds, shift: int):
+    """Shared pass-1 scaffolding of the value-range-split rank family
+    (``percent_rank_orders``, ``row_number_ntile``): a per-batch
+    (priority, 2^shift-cent-bin) ROW histogram folded by
+    ``fold_binned_counts``, exclusive-cumsum'd per priority into bin
+    rank offsets plus partition totals on the driver, broadcast via
+    ray.put. Returns ``(off_ref, add_bin)`` — the broadcast offset table
+    handle and the pass-2 re-binning map fn."""
+    from .ops.frames import arrow_frame, fold_binned_counts
 
     def hist_partial(df: pd.DataFrame) -> pa.Table:
         cents = np.floor(
@@ -5101,7 +5047,7 @@ def percent_rank_orders(sf_dir: str):
         ).astype(np.int64)
         out = (pd.DataFrame(
                    {"o_orderpriority": df["o_orderpriority"].to_numpy(),
-                    "hb": cents >> SHIFT})
+                    "hb": cents >> shift})
                .groupby(["o_orderpriority", "hb"], sort=False)
                .size().rename("n").reset_index())
         return arrow_frame(out, _PRK_PART)
@@ -5127,8 +5073,31 @@ def percent_rank_orders(sf_dir: str):
         return pd.DataFrame(
             {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
              "o_orderpriority": df["o_orderpriority"].to_numpy(),
-             "hb": cents >> SHIFT, "cents": cents}
+             "hb": cents >> shift, "cents": cents}
         )
+
+    return off_ref, add_bin
+
+
+def percent_rank_orders(sf_dir: str):
+    """Distributed RANK + partition count — the exact integer pieces of
+    PERCENT_RANK (= (rnk-1)/(n_rows-1)), emitted as integers so the SQL
+    pairing is bit-exact by construction (the repo's no-floats-in-paired-
+    surfaces rule; the double derives consumer-side in one division).
+
+    Same value-range split as ``dense_rank_orders`` but counting ROWS
+    below, not distinct values: pass 1 is a per-batch (priority, bin)
+    histogram folded by ``fold_binned_counts`` (no per-group merge loop);
+    the driver exclusive-cumsums per-priority row counts into bin rank
+    offsets and partition totals, broadcast via ray.put. Pass 2 re-bins
+    the rows in ONE shuffle and adds pandas' C min-rank within
+    (priority, bin). RANK's tie rule (equal cents share the LOWEST rank)
+    is method='min' exactly. No priority class co-located, ever."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    off_ref, add_bin = _priority_bin_offsets(ds, shift=12)
 
     def rank_block(df: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(off_ref)
@@ -5182,53 +5151,19 @@ def row_number_ntile(sf_dir: str):
     ROW_NUMBER. NTILE(4) then derives arithmetically from (rn, n_rows):
     with q, r = divmod(n, 4), the first r tiles take q+1 rows — exactly
     SQL's rule, no second pass."""
-    from .ops.frames import arrow_frame, co_group_blocks, fold_binned_counts
+    from .ops.frames import co_group_blocks
 
     ds = _pq(sf_dir, "orders",
              ["o_orderkey", "o_orderpriority", "o_totalprice"])
-    SHIFT, K = 12, 4
-
-    def hist_partial(df: pd.DataFrame) -> pa.Table:
-        cents = np.floor(
-            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
-        ).astype(np.int64)
-        out = (pd.DataFrame(
-                   {"o_orderpriority": df["o_orderpriority"].to_numpy(),
-                    "hb": cents >> SHIFT})
-               .groupby(["o_orderpriority", "hb"], sort=False)
-               .size().rename("n").reset_index())
-        return arrow_frame(out, _PRK_PART)
-
-    counts = fold_binned_counts(
-        ds.map_batches(hist_partial, batch_format="pandas"),
-        ["o_orderpriority", "hb"], _PRK_PART, bucket_col="hb",
-    ).to_pandas()
-
-    counts = counts.sort_values(["o_orderpriority", "hb"],
-                                kind="mergesort")
-    grp_cum = counts.groupby("o_orderpriority", sort=False)["n"].cumsum()
-    counts["off"] = (grp_cum - counts["n"]).astype(np.int64)
-    totals = counts.groupby("o_orderpriority", sort=False)["n"].sum()
-    counts["n_rows"] = counts["o_orderpriority"].map(totals).astype(
-        np.int64)
-    off_ref = ray.put(counts[["o_orderpriority", "hb", "off", "n_rows"]])
-
-    def add_bin(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(
-            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
-        ).astype(np.int64)
-        return pd.DataFrame(
-            {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
-             "o_orderpriority": df["o_orderpriority"].to_numpy(),
-             "hb": cents >> SHIFT, "cents": cents}
-        )
+    K = 4
+    off_ref, add_bin = _priority_bin_offsets(ds, shift=12)
 
     def number_block(df: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(off_ref)
         m = df.merge(off, on=["o_orderpriority", "hb"], how="left")
-        grp, _ = pd.factorize(
-            m["o_orderpriority"].astype(str) + "\x00"
-            + m["hb"].astype(str), sort=False)
+        hb = m["hb"].to_numpy()
+        pcode, _ = pd.factorize(m["o_orderpriority"], sort=False)
+        grp = pcode.astype(np.int64) * (np.int64(hb.max()) + 1) + hb
         order = np.lexsort((m["o_orderkey"].to_numpy(),
                             m["cents"].to_numpy(), grp))
         # 0-based position within each (priority, bin) run of the sort
@@ -5604,31 +5539,14 @@ def followed_within_hour(sf_dir: str):
         return df
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from .ops.windows import band_bounds
+
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
         uid = g["user_id"].to_numpy(dtype=np.int64)
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         tcode, types = pd.factorize(g["event_type"], sort=True)
-        ts_rel = ts - ts.min()
-        codes = np.cumsum(np.r_[np.int64(0), (uid[1:] != uid[:-1])
-                                .astype(np.int64)])
-        width = np.int64(ts_rel.max()) + hour_us + 2
-        n_codes = int(codes[-1]) + 1
-        if n_codes > (2**62) // int(width):
-            starts = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]),
-                           len(uid)]
-            lo = np.empty(len(uid), dtype=np.int64)
-            hi = np.empty(len(uid), dtype=np.int64)
-            for s, e in zip(starts[:-1], starts[1:]):
-                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e],
-                                              side="right")
-                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + hour_us,
-                                              side="right")
-        else:
-            key = codes * width + ts_rel
-            lo = np.searchsorted(key, codes * width + ts_rel,
-                                 side="right")
-            hi = np.searchsorted(key, codes * width + (ts_rel + hour_us),
-                                 side="right")
+        # lo at delta 0 side='right' is the STRICTLY-after lower bound
+        lo, hi = band_bounds(uid, ts, 0, hour_us, "right", "right")
         rows = []
         nt = len(types)
         for tb in range(nt):
@@ -5775,6 +5693,14 @@ def priority_sets(sf_dir: str):
         batch_format="pandas",
     ).to_pandas()
     vocab = sorted(uniq["o_orderpriority"].unique())
+    if len(vocab) > 20:
+        # 2^P strings are precomputed below — loud failure instead of a
+        # driver OOM if the grouped column is not the tiny vocabulary
+        # this plan is built for (use a per-group join shape instead)
+        raise ValueError(
+            f"priority_sets: vocabulary has {len(vocab)} distinct values;"
+            " the bitmask plan precomputes 2^P strings and is only"
+            " suitable for P <= 20")
     bit = {p: 1 << i for i, p in enumerate(vocab)}
     strings = np.array(
         ["|".join(p for i, p in enumerate(vocab) if m >> i & 1)

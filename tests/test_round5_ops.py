@@ -768,3 +768,58 @@ def test_daily_retention_matches_pandas(ray_session):
     # retention bound: retained never exceeds active; the span's last
     # day can retain no one beyond the data edge
     assert (got["n_retained"] <= got["n_active"]).all()
+
+
+def _brute_band_bounds(uid, ts, lo_d, hi_d, lo_side, hi_side):
+    """O(n^2) oracle for band_bounds: per-row index range of same-user
+    rows whose ts lies in the band, with searchsorted side semantics."""
+    n = len(uid)
+    lo = np.empty(n, dtype=np.int64)
+    hi = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        a, b = ts[i] + lo_d, ts[i] + hi_d
+        same = np.flatnonzero(uid == uid[i])
+        in_lo = ((ts[same] >= a) if lo_side == "left" else (ts[same] > a))
+        in_hi = ((ts[same] <= b) if hi_side == "right" else (ts[same] < b))
+        sel = same[in_lo & in_hi]
+        lo[i] = sel[0] if len(sel) else np.searchsorted(
+            ts[same], a, side=lo_side) + same[0]
+        hi[i] = (sel[-1] + 1) if len(sel) else lo[i]
+    return lo, hi
+
+
+def test_band_bounds_matches_bruteforce_both_paths(monkeypatch):
+    """The shared composite-key stride idiom (ops/windows.band_bounds)
+    == a per-row brute-force band scan, on BOTH code paths: the
+    vectorized single-searchsorted key and the overflow fallback
+    (forced by shrinking STRIDE_GUARD), across asymmetric bands and all
+    side combinations used by the callers."""
+    from bgdss_ray.ops import windows as W
+
+    rng = np.random.default_rng(11)
+    n = 400
+    uid = np.sort(rng.integers(0, 17, n)).astype(np.int64)
+    ts = rng.integers(0, 10_000, n).astype(np.int64)
+    # user-major sort, ts ascending within user (the documented precond)
+    order = np.lexsort((ts, uid))
+    uid, ts = uid[order], ts[order]
+
+    cases = [(-3600, 3600, "left", "right"),   # banded_event_pairs
+             (-3600, 0, "left", "right"),      # range_window_sum
+             (0, 3600, "right", "right"),      # followed_within_hour
+             (-100, -10, "left", "left")]      # asymmetric open band
+    for lo_d, hi_d, ls, hs in cases:
+        want_lo, want_hi = _brute_band_bounds(uid, ts, lo_d, hi_d, ls, hs)
+        got_lo, got_hi = W.band_bounds(uid, ts, lo_d, hi_d, ls, hs)
+        np.testing.assert_array_equal(got_lo, want_lo)
+        np.testing.assert_array_equal(got_hi, want_hi)
+        # force the per-user-slice fallback and pin path equality
+        monkeypatch.setattr(W, "STRIDE_GUARD", 1)
+        fb_lo, fb_hi = W.band_bounds(uid, ts, lo_d, hi_d, ls, hs)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(fb_lo, want_lo)
+        np.testing.assert_array_equal(fb_hi, want_hi)
+
+    e_lo, e_hi = W.band_bounds(np.empty(0, np.int64),
+                               np.empty(0, np.int64), -1, 1)
+    assert len(e_lo) == 0 and len(e_hi) == 0
