@@ -5857,16 +5857,13 @@ GROUP BY a.day
 
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
-# Round-5 rotation (VERDICT r4 item 1): the 20 entries that had never
-# received a driver row lead, followed by the 8 queries whose physical
-# plans were rewritten this round (fresh driver evidence wanted), then the
-# section-2 crawl/extraction spine. The 20 long-green rows rotated past the
-# cap retain their CORRECTNESS_r04 evidence; see COVERAGE.md.
+# Round-5 final rotation (VERDICT r4 item 1, re-applied end-of-round): ALL
+# 47 entries that have never received a driver row across rounds 1-4 lead
+# (the round-4 §8 family plus every round-5 addition), then three flagship
+# re-confirmations (crawl_log, crawl_doc_spans, dedup_minhash) fill the
+# window to exactly 50. The long-green rows rotated past the cap retain
+# their CORRECTNESS_r01-r04 evidence; see COVERAGE.md.
 SQL_PAIRED = {
-    "repetition_flags": (repetition_flags_q, REPETITION_FLAGS_SQL),
-    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
-    "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
-    "kmv_quantiles": (kmv_quantiles_q, KMV_QUANTILES_SQL),
     "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),
     "embedding_moments": (embedding_moments_q, EMBEDDING_MOMENTS_SQL),
     "crawl_priority_wave_counts": (
@@ -5885,63 +5882,6 @@ SQL_PAIRED = {
     "revenue_by_nation": (revenue_by_nation_q, REVENUE_BY_NATION_SQL),
     "rollup_sales": (rollup_sales_q, ROLLUP_SALES_SQL),
     "pivot_events": (pivot_events_q, PIVOT_EVENTS_SQL),
-    # -- 8 physical-plan rewrites this round (driver window) --
-    "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
-    "running_totals": (running_totals, RUNNING_TOTALS_SQL),
-    "price_percentiles": (price_percentiles, PRICE_PERCENTILES_SQL),
-    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
-    "banded_event_pairs": (banded_event_pairs, BANDED_EVENT_PAIRS_SQL),
-    "deterministic_sample": (deterministic_sample, DETERMINISTIC_SAMPLE_SQL),
-    "customer_order_counts": (customer_order_counts, CUSTOMER_ORDER_COUNTS_SQL),
-    "hash_join_revenue": (hash_join_revenue, HASH_JOIN_REVENUE_SQL),
-    # -- section-2 crawl/extraction spine (driver window to slot 50) --
-    "crawl_log": (crawl_log_q, _crawl_oracle.CRAWL_LOG_SQL),
-    "crawl_doc_spans": (crawl_doc_spans_q, _crawl_oracle.CRAWL_DOC_SPANS_SQL),
-    "crawl_documents": (
-        crawl_documents_digest_q,
-        _crawl_oracle.CRAWL_DOCUMENTS_DIGEST_SQL,
-    ),
-    "crawl_wave_counts": (crawl_wave_counts_q, _crawl_oracle.CRAWL_WAVE_COUNTS_SQL),
-    "crawl_priority_log": (crawl_priority_log_q, _crawl_oracle.PRIORITY_LOG_SQL),
-    "resolutions_table": (resolutions_q, _crawl_oracle.RESOLUTIONS_SQL),
-    "llm_extract": (llm_extract_fields, LLM_EXTRACT_SQL),
-    "mds_csv_parse": (mds_csv_parse_q, MDS_CSV_SQL),
-    "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
-    "run_summary": (run_summary, RUN_SUMMARY_SQL),
-    "broadcast_join_segment": (broadcast_join_segment, BROADCAST_JOIN_SEGMENT_SQL),
-    "extract_fields_sentinel": (extract_fields_sentinel, EXTRACT_FIELDS_SENTINEL_SQL),
-    "spanify_documents": (spanify_spans, SPANIFY_SPANS_SQL),
-    "sessionize": (sessionize, SESSIONIZE_SQL),
-    "asof_latest_order": (asof_latest_order, ASOF_LATEST_ORDER_SQL),
-    "dedup_minhash": (minhash_clusters, MINHASH_CLUSTERS_SQL),
-    "dedup_first_wins": (dedup_first_wins, DEDUP_FIRST_WINS_SQL),
-    "dedup_exact_text": (dedup_exact_text, DEDUP_EXACT_TEXT_SQL),
-    "ann_topk_members": (ann_topk_members, ANN_TOPK_MEMBERS_SQL),
-    "pagerank": (pagerank_q, PAGERANK_SQL),
-    "decontaminate": (decontaminate_q, DECONTAMINATE_SQL),
-    "topk_orders": (topk_orders, TOPK_ORDERS_SQL),
-    # -- past the driver 50-cap: long-green rows rotated out (r4 evidence) --
-    "filter_length_gate": (filter_length_gate, FILTER_LENGTH_GATE_SQL),
-    "source_summary": (source_summary, SOURCE_SUMMARY_SQL),
-    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
-    "token_count": (token_count, TOKEN_COUNT_SQL),
-    "props_stats": (props_stats, PROPS_STATS_SQL),
-    "span_counts": (span_counts, SPAN_COUNTS_SQL),
-    "lang_scores": (lang_scores, LANG_SCORES_SQL),
-    "quality_counts": (quality_counts, QUALITY_COUNTS_SQL),
-    "distinct_counts": (distinct_counts, DISTINCT_COUNTS_SQL),
-    "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
-    "dedup_simhash": (simhash_pairs, SIMHASH_PAIRS_SQL),
-    "hll_distinct": (hll_distinct_q, HLL_DISTINCT_SQL),
-    "hll_by_group": (hll_by_group_q, HLL_BY_GROUP_SQL),
-    "cms_heavy_hitters": (cms_heavy_hitters_q, CMS_HEAVY_HITTERS_SQL),
-    "fingerprints": (fingerprints_q, FINGERPRINTS_SQL),
-    "dedup_embedding": (dedup_embedding_q, DEDUP_EMBEDDING_SQL),
-    "multimodal_decode": (multimodal_decode_q, MULTIMODAL_DECODE_SQL),
-    "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
-    "ann_lsh": (ann_lsh_q, ANN_LSH_SQL),
-    "ann_ivf": (ann_ivf_q, ANN_IVF_SQL),
-    # -- round-5 additions (past the cap: mirror + pytest evidence) --
     "mode_per_group": (mode_per_group, MODE_PER_GROUP_SQL),
     "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
@@ -5977,4 +5917,61 @@ SQL_PAIRED = {
     "monthly_order_growth": (
         monthly_order_growth, MONTHLY_ORDER_GROWTH_SQL),
     "daily_retention": (daily_retention, DAILY_RETENTION_SQL),
+    "crawl_log": (crawl_log_q, _crawl_oracle.CRAWL_LOG_SQL),
+    "crawl_doc_spans": (crawl_doc_spans_q, _crawl_oracle.CRAWL_DOC_SPANS_SQL),
+    "dedup_minhash": (minhash_clusters, MINHASH_CLUSTERS_SQL),
+    "repetition_flags": (repetition_flags_q, REPETITION_FLAGS_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
+    "kmv_quantiles": (kmv_quantiles_q, KMV_QUANTILES_SQL),
+    "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
+    "running_totals": (running_totals, RUNNING_TOTALS_SQL),
+    "price_percentiles": (price_percentiles, PRICE_PERCENTILES_SQL),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
+    "banded_event_pairs": (banded_event_pairs, BANDED_EVENT_PAIRS_SQL),
+    "deterministic_sample": (deterministic_sample, DETERMINISTIC_SAMPLE_SQL),
+    "customer_order_counts": (customer_order_counts, CUSTOMER_ORDER_COUNTS_SQL),
+    "hash_join_revenue": (hash_join_revenue, HASH_JOIN_REVENUE_SQL),
+    "crawl_documents": (
+        crawl_documents_digest_q,
+        _crawl_oracle.CRAWL_DOCUMENTS_DIGEST_SQL,
+    ),
+    "crawl_wave_counts": (crawl_wave_counts_q, _crawl_oracle.CRAWL_WAVE_COUNTS_SQL),
+    "crawl_priority_log": (crawl_priority_log_q, _crawl_oracle.PRIORITY_LOG_SQL),
+    "resolutions_table": (resolutions_q, _crawl_oracle.RESOLUTIONS_SQL),
+    "llm_extract": (llm_extract_fields, LLM_EXTRACT_SQL),
+    "mds_csv_parse": (mds_csv_parse_q, MDS_CSV_SQL),
+    "consolidation_sums": (consolidation_sums, CONSOLIDATION_SUMS_SQL),
+    "run_summary": (run_summary, RUN_SUMMARY_SQL),
+    "broadcast_join_segment": (broadcast_join_segment, BROADCAST_JOIN_SEGMENT_SQL),
+    "extract_fields_sentinel": (extract_fields_sentinel, EXTRACT_FIELDS_SENTINEL_SQL),
+    "spanify_documents": (spanify_spans, SPANIFY_SPANS_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "asof_latest_order": (asof_latest_order, ASOF_LATEST_ORDER_SQL),
+    "dedup_first_wins": (dedup_first_wins, DEDUP_FIRST_WINS_SQL),
+    "dedup_exact_text": (dedup_exact_text, DEDUP_EXACT_TEXT_SQL),
+    "ann_topk_members": (ann_topk_members, ANN_TOPK_MEMBERS_SQL),
+    "pagerank": (pagerank_q, PAGERANK_SQL),
+    "decontaminate": (decontaminate_q, DECONTAMINATE_SQL),
+    "topk_orders": (topk_orders, TOPK_ORDERS_SQL),
+    "filter_length_gate": (filter_length_gate, FILTER_LENGTH_GATE_SQL),
+    "source_summary": (source_summary, SOURCE_SUMMARY_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "props_stats": (props_stats, PROPS_STATS_SQL),
+    "span_counts": (span_counts, SPAN_COUNTS_SQL),
+    "lang_scores": (lang_scores, LANG_SCORES_SQL),
+    "quality_counts": (quality_counts, QUALITY_COUNTS_SQL),
+    "distinct_counts": (distinct_counts, DISTINCT_COUNTS_SQL),
+    "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "dedup_simhash": (simhash_pairs, SIMHASH_PAIRS_SQL),
+    "hll_distinct": (hll_distinct_q, HLL_DISTINCT_SQL),
+    "hll_by_group": (hll_by_group_q, HLL_BY_GROUP_SQL),
+    "cms_heavy_hitters": (cms_heavy_hitters_q, CMS_HEAVY_HITTERS_SQL),
+    "fingerprints": (fingerprints_q, FINGERPRINTS_SQL),
+    "dedup_embedding": (dedup_embedding_q, DEDUP_EMBEDDING_SQL),
+    "multimodal_decode": (multimodal_decode_q, MULTIMODAL_DECODE_SQL),
+    "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
+    "ann_lsh": (ann_lsh_q, ANN_LSH_SQL),
+    "ann_ivf": (ann_ivf_q, ANN_IVF_SQL),
 }
