@@ -134,6 +134,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("priority_sets", SQL_PAIRED["priority_sets"][0]),
         ("monthly_order_growth", SQL_PAIRED["monthly_order_growth"][0]),
         ("daily_retention", SQL_PAIRED["daily_retention"][0]),
+        ("bfs_hops", SQL_PAIRED["bfs_hops"][0]),
+        ("new_users_daily", SQL_PAIRED["new_users_daily"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

@@ -443,3 +443,76 @@ def triangle_count(edges, num_partitions: int = 64) -> pd.DataFrame:
             "n_triangles": [np.int64(parts["n_triangles"].sum())],
         }
     )
+
+
+def bfs_hops(edges, seed_pred, n_iter: int = 3,
+             num_partitions: int | None = None):
+    """Multi-source BFS shortest-hop distances, bounded at ``n_iter``
+    hops: every node reachable from the seed set within ``n_iter`` edges
+    gets its exact hop count (unreached nodes are absent). The iterative
+    frontier expansion rides the same one-co-group-shuffle-per-round
+    skeleton as :func:`pagerank` / :func:`labelprop`; state rows carry
+    each node's best-known distance and relax by min — min is order-free,
+    so block layout cannot change a bit and a SQL ``WITH RECURSIVE`` walk
+    bounded at depth ``n_iter`` replays the result exactly.
+
+    ``seed_pred`` must be a PURE VECTORIZED function of the node id
+    (ndarray[int64] -> bool mask): seed membership is decided inside each
+    bucket with no broadcast, exactly because it depends on nothing but
+    the id. Contract (as pagerank): every node appears as a src (make the
+    graph bidirectional first) — a sink-only seed would never be seen."""
+
+    def make_step(nb: int):
+        def step(g: pd.DataFrame, first: bool) -> pa.Table:
+            is_st = g["dst"].to_numpy() == -1
+            e = g.loc[~is_st, ["src", "dst"]].drop_duplicates()
+            if first:
+                nodes = np.unique(e["src"].to_numpy(dtype=np.int64))
+                nodes = nodes[seed_pred(nodes)]
+                st = pd.Series(np.zeros(len(nodes), dtype=np.int64),
+                               index=nodes)
+            else:
+                st = g.loc[is_st].groupby("src", sort=False)["v"].min()
+            if e.empty or st.empty:
+                # carry distances through edgeless / frontier-free rounds
+                # (bidirectional contract makes edgeless+state unusual,
+                # but dropping state would corrupt the min-fold)
+                if st.empty:
+                    return _EMPTY_STEP
+                return _state_rows(st.index.to_numpy(dtype=np.int64),
+                                   st.to_numpy(dtype=np.int64), nb)
+            m = e.merge(st.rename("v"), left_on="src", right_index=True,
+                        how="inner")
+            cand = (
+                pd.DataFrame(
+                    {"n": m["dst"].to_numpy(dtype=np.int64),
+                     "v": m["v"].to_numpy(dtype=np.int64) + 1}
+                )
+                .groupby("n", sort=False)["v"]
+                .min()  # in-bucket frontier combiner
+            )
+            node = np.concatenate(
+                [st.index.to_numpy(dtype=np.int64),
+                 cand.index.to_numpy(dtype=np.int64)]
+            )
+            dv = np.concatenate(
+                [st.to_numpy(dtype=np.int64),
+                 cand.to_numpy(dtype=np.int64)]
+            )
+            return _state_rows(node, dv, nb)
+
+        return step
+
+    def fold_final(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["dst"].to_numpy() == -1]
+        d = p.groupby("src", sort=False, as_index=False)["v"].min()
+        return pd.DataFrame(
+            {
+                "node_id": d["src"].to_numpy(dtype=np.int64),
+                "hops": d["v"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    schema = pa.schema([("node_id", pa.int64()), ("hops", pa.int64())])
+    return _iterate(edges, n_iter, num_partitions, make_step, fold_final,
+                    schema)

@@ -5855,14 +5855,128 @@ GROUP BY a.day
 """
 
 
+def bfs_hops_q(sf_dir: str):
+    """Multi-source BFS shortest-hop distances (3 hops) over a sparsified
+    part↔supplier graph — the reachability/frontier-expansion shape whose
+    SQL statement is a recursive CTE. Seeds are parts with partkey % 10
+    == 1 (a pure id predicate, decided in-bucket with no broadcast);
+    ops/graph.bfs_hops runs one bucket co-group shuffle per hop with
+    min-relaxed distance state, and DuckDB's bounded WITH RECURSIVE walk
+    replays the exact frontier (min over all depth<=3 walks == the
+    engine's 3-round relaxation; min is order-free, so layout cannot
+    change a bit)."""
+    from .ops.graph import bfs_hops, lineitem_edges
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def sparsify(t: pa.Table) -> pa.Table:
+        s = (
+            t.column("l_partkey").to_numpy(zero_copy_only=False)
+            + t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        )
+        return t.filter(pa.array(s % 31 == 0))
+
+    edges = lineitem_edges(li.map_batches(sparsify, batch_format="pyarrow"))
+
+    def seed_pred(node: np.ndarray) -> np.ndarray:
+        # parts (even ids) whose partkey ends in 1
+        return (node % 2 == 0) & ((node // 2) % 10 == 1)
+
+    return bfs_hops(edges, seed_pred, n_iter=3).sort("node_id")
+
+
+BFS_HOPS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE (l_partkey + l_suppkey) % 31 = 0
+),
+edges AS (
+  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM pairs
+),
+seeds AS (
+  SELECT DISTINCT src AS node FROM edges
+  WHERE src % 2 = 0 AND (src // 2) % 10 = 1
+),
+walk(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w
+  JOIN edges e ON e.src = w.node WHERE w.d < 3
+)
+SELECT CAST(node AS BIGINT) AS node_id, CAST(MIN(d) AS BIGINT) AS hops
+FROM walk GROUP BY node ORDER BY node_id
+"""
+
+
+_NUD_PART = pa.schema([("day", pa.int64()), ("n_new", pa.int64())])
+
+
+def new_users_daily(sf_dir: str):
+    """Cumulative distinct users by day — the running COUNT(DISTINCT)
+    window SQL can only state over a self-expanding frame. The plan never
+    holds a distinct set: per-batch (user, min day) partials, ONE
+    user-hash bucket co-group whose in-block min per user is final (all
+    of a user's partials co-locate), per-block first-day histograms, and
+    the cumulative sum runs on the provably-tiny day axis on the driver
+    (O(date-span) rows). Output: per day the new-user count and the
+    running total of users seen so far."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    day_us = np.int64(86400 * 1_000_000)
+    n_buckets = derived_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = (pd.DataFrame({"user_id": df["user_id"].to_numpy(
+                               dtype=np.int64),
+                           "day": ts // day_us})
+             .groupby("user_id", as_index=False, sort=False).min())
+        e["_b"] = (e["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return e
+
+    def first_days(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("user_id", sort=False)["day"].min()
+        return (pd.DataFrame({"day": fd.to_numpy(dtype=np.int64),
+                              "n_new": np.int64(1)})
+                .groupby("day", as_index=False, sort=False).sum())
+
+    parts = co_group_blocks(
+        ds.map_batches(partial, batch_format="pandas"),
+        "_b", first_days, _NUD_PART,
+    ).to_pandas()
+    out = (parts.groupby("day", as_index=False).sum()
+           .sort_values("day").reset_index(drop=True))
+    n_new = out["n_new"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"day": (out["day"].to_numpy() * day_us)
+                .astype("datetime64[us]"),
+         "n_new": n_new,
+         "cum_users": np.cumsum(n_new).astype(np.int64)})
+
+
+NEW_USERS_DAILY_SQL = """
+WITH fd AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS day
+  FROM events GROUP BY user_id
+)
+SELECT day, COUNT(*) AS n_new,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM fd GROUP BY day ORDER BY day
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 final rotation (VERDICT r4 item 1, re-applied end-of-round): ALL
 # 47 entries that have never received a driver row across rounds 1-4 lead
-# (the round-4 §8 family plus every round-5 addition), then three flagship
-# re-confirmations (crawl_log, crawl_doc_spans, dedup_minhash) fill the
-# window to exactly 50. The long-green rows rotated past the cap retain
-# their CORRECTNESS_r01-r04 evidence; see COVERAGE.md.
+# (the round-4 §8 family plus every round-5 addition), then the two
+# post-rotation operators (bfs_hops, new_users_daily) and one flagship
+# re-confirmation (crawl_log) fill the window to exactly 50. The
+# long-green rows rotated past the cap retain their CORRECTNESS_r01-r04
+# evidence; see COVERAGE.md.
 SQL_PAIRED = {
     "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),
     "embedding_moments": (embedding_moments_q, EMBEDDING_MOMENTS_SQL),
@@ -5917,6 +6031,8 @@ SQL_PAIRED = {
     "monthly_order_growth": (
         monthly_order_growth, MONTHLY_ORDER_GROWTH_SQL),
     "daily_retention": (daily_retention, DAILY_RETENTION_SQL),
+    "bfs_hops": (bfs_hops_q, BFS_HOPS_SQL),
+    "new_users_daily": (new_users_daily, NEW_USERS_DAILY_SQL),
     "crawl_log": (crawl_log_q, _crawl_oracle.CRAWL_LOG_SQL),
     "crawl_doc_spans": (crawl_doc_spans_q, _crawl_oracle.CRAWL_DOC_SPANS_SQL),
     "dedup_minhash": (minhash_clusters, MINHASH_CLUSTERS_SQL),

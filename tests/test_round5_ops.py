@@ -823,3 +823,64 @@ def test_band_bounds_matches_bruteforce_both_paths(monkeypatch):
     e_lo, e_hi = W.band_bounds(np.empty(0, np.int64),
                                np.empty(0, np.int64), -1, 1)
     assert len(e_lo) == 0 and len(e_hi) == 0
+
+
+def test_bfs_hops_matches_bruteforce(ray_session):
+    """Engine BFS == a driver-side BFS on the collected graph; bucket
+    fan-out is semantics-free; hops bounded at n_iter."""
+    from bgdss_ray.ops.graph import bfs_hops, lineitem_edges
+    from bgdss_ray.queries import bfs_hops_q
+    import ray.data as rd
+
+    got = bfs_hops_q(SF).to_pandas()
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    li = li[(li["l_partkey"] + li["l_suppkey"]) % 31 == 0]
+    pairs = li.drop_duplicates()
+    src = np.r_[pairs["l_partkey"].to_numpy() * 2,
+                pairs["l_suppkey"].to_numpy() * 2 + 1]
+    dst = np.r_[pairs["l_suppkey"].to_numpy() * 2 + 1,
+                pairs["l_partkey"].to_numpy() * 2]
+    adj: dict = {}
+    for u, v in zip(src, dst):
+        adj.setdefault(int(u), set()).add(int(v))
+    dist = {n: 0 for n in adj if n % 2 == 0 and (n // 2) % 10 == 1}
+    frontier = set(dist)
+    for d in range(1, 4):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    want = (pd.DataFrame({"node_id": list(dist), "hops": list(dist.values())})
+            .astype(np.int64).sort_values("node_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # parallelism invariance: different bucket counts, identical result
+    edges = lineitem_edges(
+        rd.from_pandas(pairs.reset_index(drop=True)).map_batches(
+            lambda t: t, batch_format="pyarrow"))
+    pred = lambda n: (n % 2 == 0) & ((n // 2) % 10 == 1)
+    a = bfs_hops(edges, pred, n_iter=3, num_partitions=3).to_pandas()
+    a = a.sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, want)
+
+
+def test_new_users_daily_matches_pandas(ray_session):
+    from bgdss_ray.queries import new_users_daily
+
+    got = new_users_daily(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    fd = ev.assign(day=ev["ts"].dt.floor("D")).groupby("user_id")["day"].min()
+    want = (fd.value_counts().sort_index().rename("n_new").reset_index()
+            .rename(columns={"index": "day"}))
+    want["cum_users"] = want["n_new"].cumsum()
+    got2 = got.copy()
+    got2["day"] = got2["day"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False,
+                                  check_names=False)
+    # the last cumulative value IS the global distinct-user count
+    assert int(got["cum_users"].iloc[-1]) == ev["user_id"].nunique()
