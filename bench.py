@@ -136,6 +136,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("daily_retention", SQL_PAIRED["daily_retention"][0]),
         ("bfs_hops", SQL_PAIRED["bfs_hops"][0]),
         ("new_users_daily", SQL_PAIRED["new_users_daily"][0]),
+        ("ohlc_daily", SQL_PAIRED["ohlc_daily"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

@@ -5968,6 +5968,82 @@ FROM fd GROUP BY day ORDER BY day
 """
 
 
+def ohlc_daily(sf_dir: str):
+    """Daily OHLC bars over the events value stream — the time-series
+    rollup whose open/close are FIRST_VALUE/LAST_VALUE in the (ts,
+    event_id) total order (value-deterministic tie-break) and whose
+    high/low/count are plain extrema. The whole query is a per-batch
+    mergeable combiner: each block emits one row per day carrying
+    (argmin-key open, argmax-key close, high, low, n); merging two
+    partials only compares keys, so the driver folds O(blocks × days)
+    rows with ZERO shuffles — the day axis is provably tiny. Money as
+    exact integer cents."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "value"])
+    day_us = np.int64(86400 * 1_000_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.floor(
+            df["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        day = ts // day_us
+        order = np.lexsort((eid, ts, day))
+        d, t, e, c = day[order], ts[order], eid[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        ends = np.r_[starts[1:], len(d)] - 1
+        g = pd.DataFrame({"day": d, "c": c}).groupby("day", sort=True)
+        return pd.DataFrame(
+            {"day": d[starts],
+             "first_ts": t[starts], "first_eid": e[starts],
+             "open_cents": c[starts],
+             "last_ts": t[ends], "last_eid": e[ends],
+             "close_cents": c[ends],
+             "high_cents": g["c"].max().to_numpy(dtype=np.int64),
+             "low_cents": g["c"].min().to_numpy(dtype=np.int64),
+             "n_events": g["c"].size().to_numpy(dtype=np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    po = parts.sort_values(["day", "first_ts", "first_eid"],
+                           kind="mergesort")
+    opens = po.groupby("day", sort=True)["open_cents"].first()
+    pc_ = parts.sort_values(["day", "last_ts", "last_eid"],
+                            kind="mergesort")
+    closes = pc_.groupby("day", sort=True)["close_cents"].last()
+    g = parts.groupby("day", sort=True)
+    day = opens.index.to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"day": (day * day_us).astype("datetime64[us]"),
+         "open_cents": opens.to_numpy(dtype=np.int64),
+         "high_cents": g["high_cents"].max().to_numpy(dtype=np.int64),
+         "low_cents": g["low_cents"].min().to_numpy(dtype=np.int64),
+         "close_cents": closes.to_numpy(dtype=np.int64),
+         "n_events": g["n_events"].sum().to_numpy(dtype=np.int64)})
+
+
+OHLC_DAILY_SQL = """
+WITH e AS (
+  SELECT date_trunc('day', ts) AS day, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY day
+                       ORDER BY ts, event_id) AS rn_first,
+    ROW_NUMBER() OVER (PARTITION BY day
+                       ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM e
+)
+SELECT day,
+  MAX(CASE WHEN rn_first = 1 THEN cents END) AS open_cents,
+  MAX(cents) AS high_cents,
+  MIN(cents) AS low_cents,
+  MAX(CASE WHEN rn_last = 1 THEN cents END) AS close_cents,
+  COUNT(*) AS n_events
+FROM r GROUP BY day ORDER BY day
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 final rotation (VERDICT r4 item 1, re-applied end-of-round): ALL
@@ -6090,4 +6166,5 @@ SQL_PAIRED = {
     "lang_quality": (lang_quality_q, LANG_QUALITY_SQL),
     "ann_lsh": (ann_lsh_q, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf_q, ANN_IVF_SQL),
+    "ohlc_daily": (ohlc_daily, OHLC_DAILY_SQL),
 }

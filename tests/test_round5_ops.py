@@ -884,3 +884,31 @@ def test_new_users_daily_matches_pandas(ray_session):
                                   check_names=False)
     # the last cumulative value IS the global distinct-user count
     assert int(got["cum_users"].iloc[-1]) == ev["user_id"].nunique()
+
+
+def test_ohlc_daily_matches_pandas(ray_session):
+    """Combiner OHLC == a direct pandas rollup under the (ts, event_id)
+    total order; merging per-block partials is key-comparison only."""
+    from bgdss_ray.queries import ohlc_daily
+
+    got = ohlc_daily(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "value"])
+    ev = ev.assign(
+        day=ev["ts"].dt.floor("D"),
+        cents=np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64),
+    ).sort_values(["day", "ts", "event_id"], kind="mergesort")
+    g = ev.groupby("day", sort=True)
+    want = pd.DataFrame(
+        {"day": np.array(list(g.groups), dtype="datetime64[ns]"),
+         "open_cents": g["cents"].first().to_numpy(),
+         "high_cents": g["cents"].max().to_numpy(),
+         "low_cents": g["cents"].min().to_numpy(),
+         "close_cents": g["cents"].last().to_numpy(),
+         "n_events": g["cents"].size().to_numpy(dtype=np.int64)})
+    got2 = got.copy()
+    got2["day"] = got2["day"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+    assert (got["low_cents"] <= got["open_cents"]).all()
+    assert (got["open_cents"] <= got["high_cents"]).all()
