@@ -460,51 +460,71 @@ def bfs_hops(edges, seed_pred, n_iter: int = 3,
     (ndarray[int64] -> bool mask): seed membership is decided inside each
     bucket with no broadcast, exactly because it depends on nothing but
     the id. Contract (as pagerank): every node appears as a src (make the
-    graph bidirectional first) — a sink-only seed would never be seen."""
+    graph bidirectional first) — a sink-only seed would never be seen.
+
+    Relaxation is FRONTIER-ONLY (classic frontier Bellman-Ford): settled
+    distances ride as ``dst = -1`` rows and incoming candidates as
+    ``dst = -2`` rows, and a round expands out-edges only from nodes
+    whose distance actually improved — per-round work tracks the frontier
+    size, not the whole settled set, so deep ``n_iter`` runs don't redo
+    rounds 1..k-1's candidate generation every round."""
+    FRONTIER = -2  # second state sentinel alongside _state_rows' -1
 
     def make_step(nb: int):
         def step(g: pd.DataFrame, first: bool) -> pa.Table:
-            is_st = g["dst"].to_numpy() == -1
-            e = g.loc[~is_st, ["src", "dst"]].drop_duplicates()
+            dst = g["dst"].to_numpy()
+            e = g.loc[dst >= 0, ["src", "dst"]].drop_duplicates()
             if first:
                 nodes = np.unique(e["src"].to_numpy(dtype=np.int64))
                 nodes = nodes[seed_pred(nodes)]
-                st = pd.Series(np.zeros(len(nodes), dtype=np.int64),
-                               index=nodes)
+                settled = pd.Series(np.zeros(len(nodes), dtype=np.int64),
+                                    index=nodes)
+                frontier = settled
             else:
-                st = g.loc[is_st].groupby("src", sort=False)["v"].min()
-            if e.empty or st.empty:
-                # carry distances through edgeless / frontier-free rounds
-                # (bidirectional contract makes edgeless+state unusual,
-                # but dropping state would corrupt the min-fold)
-                if st.empty:
-                    return _EMPTY_STEP
-                return _state_rows(st.index.to_numpy(dtype=np.int64),
-                                   st.to_numpy(dtype=np.int64), nb)
-            m = e.merge(st.rename("v"), left_on="src", right_index=True,
-                        how="inner")
-            cand = (
-                pd.DataFrame(
-                    {"n": m["dst"].to_numpy(dtype=np.int64),
-                     "v": m["v"].to_numpy(dtype=np.int64) + 1}
+                settled = (g.loc[dst == -1].groupby("src", sort=False)
+                           ["v"].min())
+                cand_in = (g.loc[dst == FRONTIER]
+                           .groupby("src", sort=False)["v"].min())
+                # a node improves iff its best incoming candidate beats
+                # (or first sets) its settled distance; only improved
+                # nodes re-expand
+                both = cand_in.index.intersection(settled.index)
+                better = cand_in[both] < settled[both]
+                frontier = pd.concat(
+                    [cand_in[cand_in.index.difference(settled.index)],
+                     cand_in[both][better]]
                 )
-                .groupby("n", sort=False)["v"]
-                .min()  # in-bucket frontier combiner
-            )
-            node = np.concatenate(
-                [st.index.to_numpy(dtype=np.int64),
-                 cand.index.to_numpy(dtype=np.int64)]
-            )
-            dv = np.concatenate(
-                [st.to_numpy(dtype=np.int64),
-                 cand.to_numpy(dtype=np.int64)]
-            )
-            return _state_rows(node, dv, nb)
+                settled = (pd.concat([settled, frontier])
+                           .groupby(level=0).min())
+            if settled.empty:
+                return _EMPTY_STEP
+            out = [_state_rows(settled.index.to_numpy(dtype=np.int64),
+                               settled.to_numpy(dtype=np.int64), nb)]
+            if not (e.empty or frontier.empty):
+                m = e.merge(frontier.rename("v"), left_on="src",
+                            right_index=True, how="inner")
+                cand = (
+                    pd.DataFrame(
+                        {"n": m["dst"].to_numpy(dtype=np.int64),
+                         "v": m["v"].to_numpy(dtype=np.int64) + 1}
+                    )
+                    .groupby("n", sort=False)["v"]
+                    .min()  # in-bucket frontier combiner
+                )
+                c = _state_rows(cand.index.to_numpy(dtype=np.int64),
+                                cand.to_numpy(dtype=np.int64), nb)
+                out.append(c.set_column(
+                    2, "dst",
+                    pa.array(np.full(len(cand), FRONTIER,
+                                     dtype=np.int64))))
+            return pa.concat_tables(out)
 
         return step
 
     def fold_final(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["dst"].to_numpy() == -1]
+        # last round's un-folded candidates (-2) count: they are exact
+        # <= n_iter-hop distances, same as the settled rows
+        p = g[g["dst"].to_numpy() < 0]
         d = p.groupby("src", sort=False, as_index=False)["v"].min()
         return pd.DataFrame(
             {

@@ -41,6 +41,21 @@ def _cents(arr) -> pa.Array:
     return pc.floor(pc.add(pc.multiply(arr, 100.0), 0.5)).cast(pa.int64())
 
 
+def _mod_sparsify(ds, cols: tuple[str, ...], mod: int):
+    """Deterministic map-only graph sparsifier shared by the iterative-op
+    queries (triangle_count: l_orderkey % 13; labelprop: partkey+suppkey
+    % 97; bfs_hops: % 31): keep rows where sum(cols) % mod == 0. Each
+    caller's paired SQL states the same WHERE clause."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        s = t.column(cols[0]).to_numpy(zero_copy_only=False)
+        for c in cols[1:]:
+            s = s + t.column(c).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(s % mod == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- q01
 def consolidation_sums(sf_dir: str):
     """Q1-style run consolidation (portal_saude_ui.py:1459-1508 semantics:
@@ -3757,14 +3772,7 @@ def triangle_count_q(sf_dir: str):
     from .ops.graph import copurchase_edges, triangle_count
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def sparsify(t: pa.Table) -> pa.Table:
-        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(o % 13 == 0))
-
-    edges = copurchase_edges(
-        li.map_batches(sparsify, batch_format="pyarrow")
-    )
+    edges = copurchase_edges(_mod_sparsify(li, ("l_orderkey",), 13))
     return triangle_count(edges)
 
 
@@ -3838,15 +3846,8 @@ def labelprop_q(sf_dir: str):
     from .ops.graph import labelprop, lineitem_edges
 
     li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-
-    def sparsify(t: pa.Table) -> pa.Table:
-        s = (
-            t.column("l_partkey").to_numpy(zero_copy_only=False)
-            + t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        )
-        return t.filter(pa.array(s % 97 == 0))
-
-    edges = lineitem_edges(li.map_batches(sparsify, batch_format="pyarrow"))
+    edges = lineitem_edges(
+        _mod_sparsify(li, ("l_partkey", "l_suppkey"), 97))
     return labelprop(edges, n_iter=3)
 
 
@@ -5868,15 +5869,8 @@ def bfs_hops_q(sf_dir: str):
     from .ops.graph import bfs_hops, lineitem_edges
 
     li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-
-    def sparsify(t: pa.Table) -> pa.Table:
-        s = (
-            t.column("l_partkey").to_numpy(zero_copy_only=False)
-            + t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        )
-        return t.filter(pa.array(s % 31 == 0))
-
-    edges = lineitem_edges(li.map_batches(sparsify, batch_format="pyarrow"))
+    edges = lineitem_edges(
+        _mod_sparsify(li, ("l_partkey", "l_suppkey"), 31))
 
     def seed_pred(node: np.ndarray) -> np.ndarray:
         # parts (even ids) whose partkey ends in 1

@@ -868,6 +868,24 @@ def test_bfs_hops_matches_bruteforce(ray_session):
     a = a.sort_values("node_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, want)
 
+    # deeper run exercises the frontier-only relaxation over many rounds
+    # (settled nodes must neither re-expand nor lose their distance)
+    for d in range(4, 7):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    want6 = (pd.DataFrame({"node_id": list(dist),
+                           "hops": list(dist.values())})
+             .astype(np.int64).sort_values("node_id")
+             .reset_index(drop=True))
+    b = bfs_hops(edges, pred, n_iter=6, num_partitions=5).to_pandas()
+    b = b.sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, want6)
+
 
 def test_new_users_daily_matches_pandas(ray_session):
     from bgdss_ray.queries import new_users_daily
@@ -912,3 +930,40 @@ def test_ohlc_daily_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
     assert (got["low_cents"] <= got["open_cents"]).all()
     assert (got["open_cents"] <= got["high_cents"]).all()
+
+
+def test_new_users_daily_multiday_fold(ray_session, tmp_path):
+    """Staggered first-seen days across many blocks: pins the driver
+    fold's day ordering and cumulative sum on a non-degenerate axis
+    (the sf tables concentrate first events on 1-2 days)."""
+    from bgdss_ray.queries import new_users_daily
+
+    rng = np.random.default_rng(23)
+    n_users, n_days = 300, 17
+    first = rng.integers(0, n_days, n_users)
+    rows = []
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    for u in range(n_users):
+        days = [first[u]] + list(
+            rng.integers(first[u], n_days, rng.integers(0, 4)))
+        for d in days:
+            rows.append((u, base + np.timedelta64(
+                int(d) * 86400_000_000 + int(rng.integers(0, 86400_000_000)),
+                "us")))
+    rng.shuffle(rows)
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ev.to_parquet(sf / "events.parquet", index=False)
+
+    got = new_users_daily(str(sf))
+    fd = ev.assign(day=ev["ts"].dt.floor("D")).groupby("user_id")["day"].min()
+    want = (fd.value_counts().sort_index().rename("n_new").reset_index()
+            .rename(columns={"index": "day"}))
+    want["cum_users"] = want["n_new"].cumsum()
+    got2 = got.copy()
+    got2["day"] = got2["day"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False,
+                                  check_names=False)
+    assert int(got["cum_users"].iloc[-1]) == n_users
+    assert got["day"].is_monotonic_increasing
