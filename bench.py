@@ -137,6 +137,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("bfs_hops", SQL_PAIRED["bfs_hops"][0]),
         ("new_users_daily", SQL_PAIRED["new_users_daily"][0]),
         ("ohlc_daily", SQL_PAIRED["ohlc_daily"][0]),
+        ("active_users_7d", SQL_PAIRED["active_users_7d"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

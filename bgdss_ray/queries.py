@@ -6038,6 +6038,84 @@ FROM r GROUP BY day ORDER BY day
 """
 
 
+_AU7_PART = pa.schema(
+    [("day", pa.int64()), ("delta", pa.int64()), ("obs", pa.int64())]
+)
+
+
+def active_users_7d(sf_dir: str):
+    """Trailing 7-day active users per observed day — the rolling
+    COUNT(DISTINCT) window SQL can only state as a range self-join
+    (every window day joined against every activity day within 6 days
+    back). The plan never joins and never holds a distinct set: per-batch
+    DISTINCT (user, day) compaction, ONE user-hash bucket shuffle, and in
+    the user-major sorted block each user's activity days merge into
+    coverage intervals [d, d+6] (a chain merges while the gap is <= 6)
+    entirely vectorized — each interval emits two diff-array deltas
+    (+1 at start, -1 past end), so a bucket's egress is O(intervals),
+    and the driver folds deltas + a cumsum over the tiny day axis,
+    keeping only observed days. A user counts toward day w iff w falls
+    inside one of their coverage intervals — exactly 'active in the
+    trailing 7 days'."""
+    from .ops.frames import co_group_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    day_us = np.int64(86400 * 1_000_000)
+    n_buckets = derived_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = pd.DataFrame({"user_id": df["user_id"].to_numpy(
+                              dtype=np.int64),
+                          "day": ts // day_us}).drop_duplicates()
+        e["_b"] = (e["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return e
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        e = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        uid = e["user_id"].to_numpy(dtype=np.int64)
+        day = e["day"].to_numpy(dtype=np.int64)
+        starts = np.r_[True, (uid[1:] != uid[:-1])
+                       | (day[1:] > day[:-1] + 6)]
+        idx = np.flatnonzero(starts)
+        lo = day[idx]
+        hi = day[np.r_[idx[1:] - 1, len(day) - 1]] + 6
+        return pd.DataFrame(
+            {"day": np.r_[lo, hi + 1, np.unique(day)],
+             "delta": np.r_[np.ones(len(lo), dtype=np.int64),
+                            np.full(len(hi), -1, dtype=np.int64),
+                            np.zeros(len(np.unique(day)),
+                                     dtype=np.int64)],
+             "obs": np.r_[np.zeros(2 * len(lo), dtype=np.int64),
+                          np.ones(len(np.unique(day)),
+                                  dtype=np.int64)]})
+
+    parts = co_group_blocks(
+        ds.map_batches(partial, batch_format="pandas"),
+        "_b", intervals, _AU7_PART,
+    ).to_pandas()
+    out = (parts.groupby("day", as_index=False).sum()
+           .sort_values("day").reset_index(drop=True))
+    cum = np.cumsum(out["delta"].to_numpy(dtype=np.int64))
+    keep = out["obs"].to_numpy() > 0
+    return pd.DataFrame(
+        {"day": (out["day"].to_numpy()[keep] * day_us)
+                .astype("datetime64[us]"),
+         "n_active_7d": cum[keep].astype(np.int64)})
+
+
+ACTIVE_USERS_7D_SQL = """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events),
+days AS (SELECT DISTINCT day FROM d)
+SELECT w.day, COUNT(DISTINCT d.user_id) AS n_active_7d
+FROM days w
+JOIN d ON d.day BETWEEN w.day - INTERVAL 6 DAY AND w.day
+GROUP BY w.day ORDER BY w.day
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 final rotation (VERDICT r4 item 1, re-applied end-of-round): ALL
@@ -6161,4 +6239,5 @@ SQL_PAIRED = {
     "ann_lsh": (ann_lsh_q, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf_q, ANN_IVF_SQL),
     "ohlc_daily": (ohlc_daily, OHLC_DAILY_SQL),
+    "active_users_7d": (active_users_7d, ACTIVE_USERS_7D_SQL),
 }

@@ -967,3 +967,41 @@ def test_new_users_daily_multiday_fold(ray_session, tmp_path):
                                   check_names=False)
     assert int(got["cum_users"].iloc[-1]) == n_users
     assert got["day"].is_monotonic_increasing
+
+
+def test_active_users_7d_matches_pandas(ray_session, tmp_path):
+    """Interval-union diff-array plan == a direct trailing-window count,
+    on the sf table AND on a sparse synthetic with >6-day gaps (which
+    force interval splits — the sf events are too dense to exercise
+    them)."""
+    from bgdss_ray.queries import active_users_7d
+
+    def brute(ev: pd.DataFrame) -> pd.DataFrame:
+        d = (ev.assign(day=ev["ts"].dt.floor("D"))[["user_id", "day"]]
+             .drop_duplicates())
+        days = sorted(d["day"].unique())
+        rows = [(w, d.loc[(d["day"] >= w - pd.Timedelta(days=6))
+                          & (d["day"] <= w), "user_id"].nunique())
+                for w in days]
+        return pd.DataFrame(rows, columns=["day", "n_active_7d"])
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    got = active_users_7d(SF)
+    got2 = got.assign(day=got["day"].astype("datetime64[ns]"))
+    pd.testing.assert_frame_equal(got2, brute(ev), check_dtype=False)
+
+    rng = np.random.default_rng(31)
+    base = np.datetime64("2024-01-01T12:00:00", "us")
+    rows = []
+    for u in range(80):
+        for d in rng.choice(60, size=rng.integers(1, 6), replace=False):
+            rows.append((u, base + np.timedelta64(
+                int(d) * 86400_000_000, "us")))
+    sev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    sev.to_parquet(sf / "events.parquet", index=False)
+    sgot = active_users_7d(str(sf))
+    sgot2 = sgot.assign(day=sgot["day"].astype("datetime64[ns]"))
+    pd.testing.assert_frame_equal(sgot2, brute(sev), check_dtype=False)
