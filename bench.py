@@ -138,6 +138,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         ("new_users_daily", SQL_PAIRED["new_users_daily"][0]),
         ("ohlc_daily", SQL_PAIRED["ohlc_daily"][0]),
         ("active_users_7d", SQL_PAIRED["active_users_7d"][0]),
+        ("unpivot_parts", SQL_PAIRED["unpivot_parts"][0]),
     ]
     import pandas as pd
     import pyarrow as pa

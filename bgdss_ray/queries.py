@@ -6116,6 +6116,40 @@ GROUP BY w.day ORDER BY w.day
 """
 
 
+def unpivot_parts(sf_dir: str):
+    """UNPIVOT (wide→long melt), the inverse of ``pivot_events``: each
+    part row becomes one row per measured attribute (retail price as
+    exact cents, size), tagged with the attribute name. Pure map-only —
+    a batch melts locally with numpy repeat/concat, ZERO shuffles, and
+    the output stays a streaming Dataset (SQL states it as a UNION ALL
+    of per-attribute projections)."""
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy(dtype=np.int64)
+        cents = np.floor(
+            df["p_retailprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        size = df["p_size"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"p_partkey": np.r_[k, k],
+             "attr": np.r_[np.full(len(k), "retail_cents"),
+                           np.full(len(k), "size")],
+             "val": np.r_[cents, size]})
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+UNPIVOT_PARTS_SQL = """
+SELECT p_partkey, 'retail_cents' AS attr,
+       CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS attr, CAST(p_size AS BIGINT) AS val
+FROM part
+"""
+
+
 # Registry order IS the driver's correctness window: the per-round driver
 # gate checks exactly the FIRST 50 entries of queries() in insertion order.
 # Round-5 final rotation (VERDICT r4 item 1, re-applied end-of-round): ALL
@@ -6240,4 +6274,5 @@ SQL_PAIRED = {
     "ann_ivf": (ann_ivf_q, ANN_IVF_SQL),
     "ohlc_daily": (ohlc_daily, OHLC_DAILY_SQL),
     "active_users_7d": (active_users_7d, ACTIVE_USERS_7D_SQL),
+    "unpivot_parts": (unpivot_parts, UNPIVOT_PARTS_SQL),
 }

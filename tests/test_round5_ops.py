@@ -1005,3 +1005,22 @@ def test_active_users_7d_matches_pandas(ray_session, tmp_path):
     sgot = active_users_7d(str(sf))
     sgot2 = sgot.assign(day=sgot["day"].astype("datetime64[ns]"))
     pd.testing.assert_frame_equal(sgot2, brute(sev), check_dtype=False)
+
+
+def test_unpivot_roundtrip(ray_session):
+    """Melt then local re-pivot reconstructs the wide table exactly."""
+    from bgdss_ray.queries import unpivot_parts
+
+    long = unpivot_parts(SF).to_pandas()
+    wide = (long.pivot(index="p_partkey", columns="attr", values="val")
+            .reset_index())
+    part = pd.read_parquet(f"{SF}/part.parquet",
+                           columns=["p_partkey", "p_size",
+                                    "p_retailprice"])
+    part = part.sort_values("p_partkey").reset_index(drop=True)
+    assert (wide["size"].to_numpy()
+            == part["p_size"].to_numpy()).all()
+    assert (wide["retail_cents"].to_numpy()
+            == np.floor(part["p_retailprice"].to_numpy() * 100.0
+                        + 0.5).astype(np.int64)).all()
+    assert len(long) == 2 * len(part)
