@@ -90,10 +90,13 @@ def _iterate(edges, n_iter: int, num_partitions: int | None, make_step,
     """Run ``n_iter`` rounds of ``step = make_step(nb)`` over the bucket
     co-group of (edges ∪ state), then ``fold_final`` per bucket.
     ``step(g, first)`` sees a pandas frame of whole buckets with columns
-    (b, src, dst, v) — edge rows have dst >= 0 and v = 0, state rows
-    dst = -1 — and must return state rows (:func:`_state_rows`); it must
-    be key-local (see :func:`co_group_blocks`). Lazy end to end; only the
-    normalized edge table is pinned."""
+    (b, src, dst, v) — edge rows have dst >= 0 and v = 0; state rows
+    carry NEGATIVE dst sentinels (-1 canonical via :func:`_state_rows`;
+    a step may add further negative sentinels, e.g. bfs_hops' -2
+    candidate rows), so edge selection must be ``dst >= 0``, never
+    ``dst != -1``. Steps must be key-local (see
+    :func:`co_group_blocks`). Lazy end to end; only the normalized edge
+    table is pinned."""
 
     def norm(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -151,8 +154,9 @@ def pagerank(edges, n_iter: int = 3, num_partitions: int | None = None):
 
     def make_step(nb: int):
         def step(g: pd.DataFrame, first: bool) -> pa.Table:
-            is_part = g["dst"].to_numpy() == -1
-            e = g.loc[~is_part, ["src", "dst"]].drop_duplicates()
+            dst = g["dst"].to_numpy()
+            is_part = dst == -1
+            e = g.loc[dst >= 0, ["src", "dst"]].drop_duplicates()
             if e.empty:
                 # a block with rank-mass state rows but NO edges is the
                 # outdeg-0 case too (state routes to bucket(src), so a
@@ -232,8 +236,9 @@ def labelprop(edges, n_iter: int = 3, num_partitions: int | None = None):
 
     def make_step(nb: int):
         def step(g: pd.DataFrame, first: bool) -> pa.Table:
-            is_lab = g["dst"].to_numpy() == -1
-            e = g.loc[~is_lab, ["src", "dst"]].drop_duplicates()
+            dst = g["dst"].to_numpy()
+            is_lab = dst == -1
+            e = g.loc[dst >= 0, ["src", "dst"]].drop_duplicates()
             if e.empty:
                 # a block with label rows but no edges = sink nodes:
                 # correct min-label semantics is to CARRY the labels

@@ -6081,15 +6081,18 @@ def active_users_7d(sf_dir: str):
         idx = np.flatnonzero(starts)
         lo = day[idx]
         hi = day[np.r_[idx[1:] - 1, len(day) - 1]] + 6
+        # observed-day markers per (_b, day), NOT per block:
+        # co_group_blocks' contract needs fn(concat of groups) row-equal
+        # to concat of fn(group), and each _b group is whole in one call
+        obs_days = (e[["_b", "day"]].drop_duplicates()["day"]
+                    .to_numpy(dtype=np.int64))
         return pd.DataFrame(
-            {"day": np.r_[lo, hi + 1, np.unique(day)],
+            {"day": np.r_[lo, hi + 1, obs_days],
              "delta": np.r_[np.ones(len(lo), dtype=np.int64),
                             np.full(len(hi), -1, dtype=np.int64),
-                            np.zeros(len(np.unique(day)),
-                                     dtype=np.int64)],
+                            np.zeros(len(obs_days), dtype=np.int64)],
              "obs": np.r_[np.zeros(2 * len(lo), dtype=np.int64),
-                          np.ones(len(np.unique(day)),
-                                  dtype=np.int64)]})
+                          np.ones(len(obs_days), dtype=np.int64)]})
 
     parts = co_group_blocks(
         ds.map_batches(partial, batch_format="pandas"),
